@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geometry expression library — pure Catalyst expression trees (no UDFs),
+  * so every op is codegen-friendly, pushdown-transparent, and DuckDB-oracle
+  * comparable.
+  *
+  * Re-expresses the reference's per-record numpy/cv2 math
+  * (reference: point3d_transformation.py:87-120 euler/transform,
+  * extrinsic_calibration.py:114-124 pinhole projection,
+  * image_cut_warp.py:33-36 homography apply, lumiadjust.py:14 scale).
+  */
+object Geometry {
+
+  /** 3x3 row-major matrix of Columns. */
+  type Mat3 = Seq[Seq[Column]]
+
+  /** Euclidean norm of a 2D residual (extrinsic_calibration.py:212). */
+  def norm2(du: Column, dv: Column): Column =
+    sqrt(du * du + dv * dv)
+
+  /** Apply a 4x4 homogeneous transform T (row-major Seq of 16 doubles) to a
+    * 3D point, dropping w (point3d_transformation.py:109-120: p' = T @ [p;1]).
+    */
+  def rigidTransform(t: Seq[Double], x: Column, y: Column, z: Column)
+      : (Column, Column, Column) = {
+    require(t.length == 16)
+    def row(i: Int): Column =
+      lit(t(i * 4)) * x + lit(t(i * 4 + 1)) * y + lit(t(i * 4 + 2)) * z +
+        lit(t(i * 4 + 3))
+    (row(0), row(1), row(2))
+  }
+
+  /** Rotation matrix from ZYX euler angles in degrees (KUKA A,B,C order;
+    * point3d_transformation.py:87-104). R = Rz(a) @ Ry(b) @ Rx(c).
+    */
+  def eulerZyxToMatrix(aDeg: Column, bDeg: Column, cDeg: Column): Mat3 = {
+    val (ca, sa) = (cos(radians(aDeg)), sin(radians(aDeg)))
+    val (cb, sb) = (cos(radians(bDeg)), sin(radians(bDeg)))
+    val (cc, sc) = (cos(radians(cDeg)), sin(radians(cDeg)))
+    Seq(
+      Seq(ca * cb, ca * sb * sc - sa * cc, ca * sb * cc + sa * sc),
+      Seq(sa * cb, sa * sb * sc + ca * cc, sa * sb * cc - ca * sc),
+      Seq(-sb, cb * sc, cb * cc))
+  }
+
+  /** Rodrigues rotation-vector -> rotation matrix, closed form
+    * (extrinsic_calibration.py:76,105: cv2.Rodrigues):
+    * R = c I + (1-c) k k^T + s [k]x, with theta = |r|, k = r/theta.
+    * Caller guarantees theta > 0 (or wraps in a CASE for the zero vector).
+    */
+  def rodrigues(rx: Column, ry: Column, rz: Column): Mat3 = {
+    val theta = sqrt(rx * rx + ry * ry + rz * rz)
+    val (kx, ky, kz) = (rx / theta, ry / theta, rz / theta)
+    val c = cos(theta)
+    val s = sin(theta)
+    val v = lit(1.0) - c
+    Seq(
+      Seq(c + kx * kx * v, kx * ky * v - kz * s, kx * kz * v + ky * s),
+      Seq(ky * kx * v + kz * s, c + ky * ky * v, ky * kz * v - kx * s),
+      Seq(kz * kx * v - ky * s, kz * ky * v + kx * s, c + kz * kz * v))
+  }
+
+  /** Pinhole projection with the rational distortion model actually used by
+    * the reference (k1,k2,p1,p2,k4 nonzero; K3..K5 fixed —
+    * camera_calib.py:101-102, extrinsic_calibration.py:114-124).
+    * Input: camera-frame point (x,y,z), z > 0. Output: (u,v) pixels.
+    */
+  def projectPoint(
+      x: Column, y: Column, z: Column,
+      fx: Double, fy: Double, cx: Double, cy: Double,
+      k1: Double, k2: Double, p1: Double, p2: Double, k4: Double)
+      : (Column, Column) = {
+    val xn = x / z
+    val yn = y / z
+    val r2 = xn * xn + yn * yn
+    val radial =
+      (lit(1.0) + lit(k1) * r2 + lit(k2) * r2 * r2) / (lit(1.0) + lit(k4) * r2)
+    val xd = xn * radial + lit(2.0 * p1) * xn * yn +
+      lit(p2) * (r2 + lit(2.0) * xn * xn)
+    val yd = yn * radial + lit(p1) * (r2 + lit(2.0) * yn * yn) +
+      lit(2.0 * p2) * xn * yn
+    (lit(fx) * xd + lit(cx), lit(fy) * yd + lit(cy))
+  }
+
+  /** Apply a 3x3 homography (row-major 9 doubles) to a 2D point
+    * (image_cut_warp.py:33-36 / cv2.warpPerspective math).
+    */
+  def homographyApply(h: Seq[Double], u: Column, v: Column)
+      : (Column, Column) = {
+    require(h.length == 9)
+    val w = lit(h(6)) * u + lit(h(7)) * v + lit(h(8))
+    ((lit(h(0)) * u + lit(h(1)) * v + lit(h(2))) / w,
+      (lit(h(3)) * u + lit(h(4)) * v + lit(h(5))) / w)
+  }
+
+  /** Solve the 3x3 homography mapping 4 source points onto 4 destination
+    * points (image_cut_warp.py:28-31 / cv2.getPerspectiveTransform).
+    *
+    * Pure Scala (driver- or executor-side) Gaussian elimination on the
+    * standard 8x8 DLT system; used by the homography UDF and tests. Row-major
+    * 9-vector result with h22 = 1.
+    */
+  def solveHomography(src: Seq[(Double, Double)], dst: Seq[(Double, Double)])
+      : Array[Double] = {
+    require(src.length == 4 && dst.length == 4)
+    // A x = b, x = [h00..h21], h22 = 1
+    val a = Array.ofDim[Double](8, 9) // augmented
+    for (i <- 0 until 4) {
+      val (sx, sy) = src(i); val (dx, dy) = dst(i)
+      a(2 * i) = Array(sx, sy, 1, 0, 0, 0, -sx * dx, -sy * dx, dx)
+      a(2 * i + 1) = Array(0, 0, 0, sx, sy, 1, -sx * dy, -sy * dy, dy)
+    }
+    // partial-pivot gaussian elimination
+    for (col <- 0 until 8) {
+      val piv = (col until 8).maxBy(r => math.abs(a(r)(col)))
+      val tmp = a(col); a(col) = a(piv); a(piv) = tmp
+      require(math.abs(a(col)(col)) > 1e-12, "degenerate point configuration")
+      for (r <- col + 1 until 8) {
+        val f = a(r)(col) / a(col)(col)
+        for (c <- col until 9) a(r)(c) -= f * a(col)(c)
+      }
+    }
+    val x = new Array[Double](8)
+    for (r <- 7 to 0 by -1) {
+      var s = a(r)(8)
+      for (c <- r + 1 until 8) s -= a(r)(c) * x(c)
+      x(r) = s / a(r)(r)
+    }
+    x :+ 1.0
+  }
+
+  /** Closed-form SE(3) inverse of a 4x4 [R|t] (row-major 16)
+    * (point3d_transformation.py:177-191, commented variant): R^T, -R^T t.
+    */
+  def se3Inverse(t: Seq[Double]): Seq[Double] = {
+    require(t.length == 16)
+    val r = Array(t(0), t(1), t(2), t(4), t(5), t(6), t(8), t(9), t(10))
+    val tr = Array(t(3), t(7), t(11))
+    def rt(i: Int, j: Int) = r(j * 3 + i) // transpose
+    val nt = (0 until 3).map(i => -(rt(i, 0) * tr(0) + rt(i, 1) * tr(1) + rt(i, 2) * tr(2)))
+    Seq(
+      rt(0, 0), rt(0, 1), rt(0, 2), nt(0),
+      rt(1, 0), rt(1, 1), rt(1, 2), nt(1),
+      rt(2, 0), rt(2, 1), rt(2, 2), nt(2),
+      0.0, 0.0, 0.0, 1.0)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: images/audio/video ride through the engine as
+  * opaque `binary` columns plus typed metadata (SURVEY.md §2.8; reference
+  * decodes with cv2 at pixel_processing.py:15, cut600.py:17).
+  *
+  * The actual codec is STUBBED (no image libs in this container): decode
+  * produces a deterministic fake derived from the bytes. Everything
+  * Spark-side — schema, batch iteration via mapPartitions, partition-size
+  * hygiene — is real, so swapping in a real JPEG/RGBE decoder is a drop-in.
+  */
+object Multimodal {
+
+  /** Decoded-media metadata row. */
+  case class MediaMeta(
+      path: String,
+      byteLen: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      meanLuma: Double)
+
+  /** STUB decoder: deterministic fake dimensions/luminance from the bytes.
+    * A real implementation would parse the JPEG/RGBE header and pixels here;
+    * the dataflow around it (batch shape, schema, laziness) is identical.
+    */
+  def decodeStub(path: String, bytes: Array[Byte]): MediaMeta = {
+    val n = bytes.length
+    def b(i: Int): Int = if (n == 0) 0 else bytes(((i % n) + n) % n) & 0xff
+    // fake 4:3 geometry seeded by content, fake luma = mean of a byte stride
+    val w = 160 + 16 * (b(0) % 8)
+    val h = w * 3 / 4
+    val stride = math.max(1, n / 256)
+    val luma =
+      if (n == 0) 0.0
+      else (0 until n by stride).map(i => bytes(i) & 0xff).sum.toDouble /
+        ((n + stride - 1) / stride)
+    MediaMeta(path, n.toLong, w, h, 3, luma)
+  }
+
+  /** Decode a binaryFile-style DataFrame (path, content) to metadata rows.
+    * mapPartitions keeps the decode batched per partition (one codec init
+    * per partition, not per row) — the Spark-side shape a real decoder needs.
+    */
+  def decodeMeta(files: DataFrame): Dataset[MediaMeta] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: init codec once here
+        it.map { case (p, bytes) => decodeStub(p, bytes) }
+      }
+  }
+
+  /** Expression-only binary metadata (no decode): length, magic, md5 —
+    * fully codegen'd, content never leaves the scan.
+    */
+  def binaryMeta(files: DataFrame): DataFrame =
+    files.select(
+      regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+      col("length"),
+      substring(col("content"), 1, 4).cast("string").as("magic"),
+      md5(col("content")).as("content_md5"))
+}
