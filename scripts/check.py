@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate (dev tooling only —
+not part of the shipped library). Runs each oracle SQL from
+oracle_sql.json in DuckDB against the sf parquet tables and compares with
+the Spark result parquet written by graft.Verify.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(con, rel):
+    """DataFrame with columns sorted by name, values normalized."""
+    df = rel.fetchdf()
+    df = df[sorted(df.columns)]
+    return df
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            want = canon(con, con.sql(sql))
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        try:
+            got = canon(con, con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
+        except Exception as e:
+            print(f"FAIL {name}: spark result missing: {e}")
+            n_fail += 1
+            continue
+        if list(want.columns) != list(got.columns):
+            print(f"FAIL {name}: schema want={list(want.columns)} "
+                  f"got={list(got.columns)}")
+            n_fail += 1
+            continue
+        if len(want) != len(got):
+            print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
+            n_fail += 1
+            continue
+        # exact value compare (mirrors the driver's hash of values)
+        neq = (want.astype(str).values != got.astype(str).values)
+        if neq.any():
+            import numpy as np
+            r, c = np.argwhere(neq)[0]
+            print(f"FAIL {name}: first diff row {r} col "
+                  f"{want.columns[c]}: want={want.iloc[r, c]!r} "
+                  f"got={got.iloc[r, c]!r}  ({neq.sum()} cells differ)")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(want)} rows)")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

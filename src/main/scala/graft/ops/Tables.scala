@@ -9,8 +9,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * these TPC-H-ish tables for the DuckDB-oracle checks.
   */
 object Tables {
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      // events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
+      // timestamp type and refuses the file outright (PARQUET_TYPE_ILLEGAL)
+      // unless it is read as a raw bigint of epoch-nanos. Exact integer
+      // nanos also beat a truncated timestamp for oracle determinism.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
