@@ -1,43 +1,105 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Window / sort / sessionization operators (SURVEY.md §2.5). */
 object Windows {
 
   /** Gap detection between consecutive fixed-size groups — the reference's
     * missing-pose check (point3d_transformation.py:11-62): order events,
-    * bucket into groups of `groupSize`, compare each group's end time with
-    * the next group's start time, flag gaps over `gapSeconds`.
+    * bucket into groups of `groupSize`, compare each FULL group's end time
+    * with the next FULL group's start time, flag gaps over `gapSeconds`.
     *
-    * Input df needs `orderCol` (unique total order) and `tsCol` (timestamp).
-    * Output: (group_id, start_s, end_s, next_start_s, gap_s) for gaps only.
+    * Faithful to detect_missing_pose semantics: the comparison only happens
+    * when both the current and the next group contain exactly `groupSize`
+    * rows (point3d_transformation.py:26-46), so a partial trailing group is
+    * never gap-checked.
     *
-    * Scale note: row_number over a global order is a single-partition sort
-    * at the window stage — at 100 TB the same computation is expressed per
-    * session key or via the streaming form (graft.streaming.Sessionize);
-    * for the reference's semantics (one camera, one global order) this is
-    * the faithful shape and the group-agg after it is fully parallel.
+    * Input df needs `orderCol` (unique total order) and `tsNanosCol`
+    * (bigint epoch-nanos — exact integers, so no float truncation near the
+    * threshold). Output: (group_id, start_ns, end_ns, next_start_ns,
+    * gap_ns) for gaps only.
+    *
+    * Scale note: row_number over a global order funnels rows through one
+    * window task. Faithful at reference scale (one camera, one global
+    * order); the scale-safe equivalent is `withGlobalRowNumbers` below
+    * (range-partitioned sort + per-partition offsets), proven identical in
+    * the test suite.
     */
-  def gapSessions(df: DataFrame, orderCol: String, tsCol: String,
+  def gapSessions(df: DataFrame, orderCol: String, tsNanosCol: String,
       groupSize: Int = 5, gapSeconds: Long = 12): DataFrame = {
     val rn = row_number().over(Window.orderBy(col(orderCol)))
     val grouped = df
       .withColumn("rn", rn)
-      .withColumn("grp", expr(s"(rn - 1) div $groupSize"))
+      .withColumn("grp", expr(s"CAST((rn - 1) div $groupSize AS BIGINT)"))
       .groupBy("grp")
       .agg(
-        min(unix_timestamp(col(tsCol))).as("start_s"),
-        max(unix_timestamp(col(tsCol))).as("end_s"))
+        min(col(tsNanosCol)).as("start_ns"),
+        max(col(tsNanosCol)).as("end_ns"),
+        count(lit(1)).as("n"))
+    val w = Window.orderBy(col("grp"))
     grouped
-      .withColumn("next_start_s", lead(col("start_s"), 1)
-        .over(Window.orderBy(col("grp"))))
-      .withColumn("gap_s", col("next_start_s") - col("end_s"))
-      .filter(col("gap_s") > gapSeconds)
-      .select(col("grp").as("group_id"), col("start_s"), col("end_s"),
-        col("next_start_s"), col("gap_s"))
+      .withColumn("next_start_ns", lead(col("start_ns"), 1).over(w))
+      .withColumn("next_n", lead(col("n"), 1).over(w))
+      .withColumn("gap_ns", col("next_start_ns") - col("end_ns"))
+      .filter(col("n") === groupSize && col("next_n") === groupSize &&
+        col("gap_ns") > gapSeconds * 1000000000L)
+      .select(col("grp").as("group_id"), col("start_ns"), col("end_ns"),
+        col("next_start_ns"), col("gap_ns"))
+      .orderBy("group_id")
+  }
+
+  /** Scale-safe global row numbering: sort by `orderCol` with a RANGE
+    * partitioner (parallel sort), count rows per partition, broadcast the
+    * tiny cumulative-offset array, then number rows per partition — no
+    * single-task window. 0-based in `outCol`.
+    *
+    * Two passes over the data (count + number) instead of one single-task
+    * window pass; at 100 TB the former is a win by orders of magnitude.
+    */
+  def withGlobalRowNumbers(df: DataFrame, orderCol: String,
+      outCol: String = "rn0"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(col(orderCol)).sortWithinPartitions(col(orderCol))
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    val numbered = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var k = offsets(i)
+      it.map { r => val out = Row.fromSeq(r.toSeq :+ k); k += 1; out }
+    }
+    spark.createDataFrame(numbered, schema)
+  }
+
+  /** gapSessions on top of the scale-safe numbering — identical output to
+    * the window-based form (asserted in the test suite), no global-window
+    * single task.
+    */
+  def gapSessionsScalable(df: DataFrame, orderCol: String, tsNanosCol: String,
+      groupSize: Int = 5, gapSeconds: Long = 12): DataFrame = {
+    val numbered = withGlobalRowNumbers(df, orderCol)
+    val grouped = numbered
+      .withColumn("grp", expr(s"CAST(rn0 div $groupSize AS BIGINT)"))
+      .groupBy("grp")
+      .agg(
+        min(col(tsNanosCol)).as("start_ns"),
+        max(col(tsNanosCol)).as("end_ns"),
+        count(lit(1)).as("n"))
+    val w = Window.orderBy(col("grp"))
+    grouped
+      .withColumn("next_start_ns", lead(col("start_ns"), 1).over(w))
+      .withColumn("next_n", lead(col("n"), 1).over(w))
+      .withColumn("gap_ns", col("next_start_ns") - col("end_ns"))
+      .filter(col("n") === groupSize && col("next_n") === groupSize &&
+        col("gap_ns") > gapSeconds * 1000000000L)
+      .select(col("grp").as("group_id"), col("start_ns"), col("end_ns"),
+        col("next_start_ns"), col("gap_ns"))
       .orderBy("group_id")
   }
 }

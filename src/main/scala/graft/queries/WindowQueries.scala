@@ -1,5 +1,128 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.{Windows, Tables => T}
+
+/** Window / sort / top-k family W1–W7 (SURVEY.md §2.5). The events table's
+  * ts column arrives as bigint epoch-nanos (Tables.events), so every time
+  * comparison is exact integer arithmetic — no float truncation near the
+  * gap threshold. DuckDB loses the sub-microsecond tail when it reads the
+  * TIMESTAMP(NANOS) parquet (ns → µs), so the Spark side truncates nanos
+  * to the same µs grid (`ts div 1000 * 1000`) before comparing.
+  */
 object WindowQueries {
-  def defs: Seq[QueryDef] = Seq()
+
+  private def eventsUsGrid(s: org.apache.spark.sql.SparkSession, d: String) =
+    T.events(s, d).withColumn("ts", expr("ts div 1000 * 1000"))
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // W1: global sort by file mtime (point3d_transformation.py:24).
+    QueryDef("w1_sort_mtime",
+      """SELECT event_id, epoch_ns(ts) AS ts_ns FROM events
+        |ORDER BY ts_ns, event_id""") { (s, d) =>
+      eventsUsGrid(s, d)
+        .select(col("event_id"), col("ts").as("ts_ns"))
+        .orderBy("ts_ns", "event_id")
+    },
+
+    // W2: lead/lag gap detection between consecutive full groups of 5 —
+    // the reference's missing-pose check (point3d_transformation.py:11-62,
+    // 12 s threshold; both groups must be full, :26-46).
+    QueryDef("w2_gap_sessions",
+      """WITH ordered AS (
+        |  SELECT epoch_ns(ts) AS tsn,
+        |         row_number() OVER (ORDER BY event_id) AS rn
+        |  FROM events),
+        |g AS (
+        |  SELECT CAST((rn - 1) // 5 AS BIGINT) AS grp, min(tsn) AS start_ns,
+        |         max(tsn) AS end_ns, count(*) AS n
+        |  FROM ordered GROUP BY 1),
+        |w AS (
+        |  SELECT grp, start_ns, end_ns, n,
+        |         lead(start_ns) OVER (ORDER BY grp) AS next_start_ns,
+        |         lead(n) OVER (ORDER BY grp) AS next_n
+        |  FROM g)
+        |SELECT grp AS group_id, start_ns, end_ns, next_start_ns,
+        |       next_start_ns - end_ns AS gap_ns
+        |FROM w
+        |WHERE n = 5 AND next_n = 5
+        |  AND next_start_ns - end_ns > 12000000000
+        |ORDER BY group_id""") { (s, d) =>
+      Windows.gapSessions(eventsUsGrid(s, d), "event_id", "ts")
+    },
+
+    // W3: top-k by value desc — 10 worst poses by mean error
+    // (extrinsic_calibration.py:237-240). TakeOrderedAndProject at scale.
+    QueryDef("w3_topk_worst",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""") { (s, d) =>
+      T.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // W4: ordinal assignment / row numbering (file_rename_sort.py:7-9,
+    // pose_filter.py:3146 enumerate).
+    QueryDef("w4_ordinal_assign",
+      """SELECT s_suppkey, s_name,
+        |  CAST(row_number() OVER (ORDER BY s_name) AS BIGINT) AS ord
+        |FROM supplier ORDER BY s_suppkey""") { (s, d) =>
+      T.supplier(s, d)
+        .withColumn("ord",
+          row_number().over(Window.orderBy(col("s_name"))).cast("bigint"))
+        .select("s_suppkey", "s_name", "ord")
+        .orderBy("s_suppkey")
+    },
+
+    // W5: argmin/argmax corner-role selection via min_by/max_by
+    // (pixel_processing.py:51-63: tl=min(x+y), br=max(x+y), tr=max(x-y),
+    // bl=min(x-y)). Synthetic exact-integer coordinates (u in a coarse
+    // grid scaled so u±v is collision-free) keep the arg keys unique —
+    // min_by ties are nondeterministic in both engines otherwise.
+    QueryDef("w5_argmin_corners",
+      """SELECT event_type,
+        |  arg_min(v, u + v) AS tl_id, arg_max(v, u + v) AS br_id,
+        |  arg_max(v, u - v) AS tr_id, arg_min(v, u - v) AS bl_id
+        |FROM (SELECT event_type,
+        |        CAST(round(value * 100) AS BIGINT) * 1000000 AS u,
+        |        event_id AS v
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      T.events(s, d)
+        .select(col("event_type"),
+          (round(col("value") * 100).cast("bigint") * 1000000L).as("u"),
+          col("event_id").as("v"))
+        .groupBy("event_type")
+        .agg(
+          min_by(col("v"), col("u") + col("v")).as("tl_id"),
+          max_by(col("v"), col("u") + col("v")).as("br_id"),
+          max_by(col("v"), col("u") - col("v")).as("tr_id"),
+          min_by(col("v"), col("u") - col("v")).as("bl_id"))
+        .orderBy("event_type")
+    },
+
+    // W6: first element of int-sorted string keys (calculate.py:56
+    // sorted(keys, key=int)[0]) — min over the numeric cast.
+    QueryDef("w6_first_int_key",
+      """SELECT min(CAST(string_split(c_name, '#')[2] AS BIGINT))
+        |  AS first_key FROM customer""") { (s, d) =>
+      T.customer(s, d)
+        .agg(min(split(col("c_name"), "#").getItem(1).cast("bigint"))
+          .as("first_key"))
+    },
+
+    // W7: deterministic sample-first-N (extrinsic_calibration.py:41-42:
+    // first 20 ids; we pin the order explicitly, SURVEY §2.5 W7).
+    QueryDef("w7_sample_first_n",
+      """SELECT doc_id, lang, source FROM documents
+        |ORDER BY doc_id LIMIT 20""") { (s, d) =>
+      T.documents(s, d)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+        .limit(20)
+    }
+  )
 }
