@@ -49,7 +49,8 @@ object Geometry {
   /** Rodrigues rotation-vector -> rotation matrix, closed form
     * (extrinsic_calibration.py:76,105: cv2.Rodrigues):
     * R = c I + (1-c) k k^T + s [k]x, with theta = |r|, k = r/theta.
-    * Caller guarantees theta > 0 (or wraps in a CASE for the zero vector).
+    * The zero rotation vector is a legitimate cv2.Rodrigues input meaning
+    * identity, so the guard is built in — theta == 0 yields I, never NaN.
     */
   def rodrigues(rx: Column, ry: Column, rz: Column): Mat3 = {
     val theta = sqrt(rx * rx + ry * ry + rz * rz)
@@ -57,10 +58,15 @@ object Geometry {
     val c = cos(theta)
     val s = sin(theta)
     val v = lit(1.0) - c
-    Seq(
+    val raw = Seq(
       Seq(c + kx * kx * v, kx * ky * v - kz * s, kx * kz * v + ky * s),
       Seq(ky * kx * v + kz * s, c + ky * ky * v, ky * kz * v - kx * s),
       Seq(kz * kx * v - ky * s, kz * ky * v + kx * s, c + kz * kz * v))
+    raw.zipWithIndex.map { case (row, i) =>
+      row.zipWithIndex.map { case (e, j) =>
+        when(theta > 0.0, e).otherwise(lit(if (i == j) 1.0 else 0.0))
+      }
+    }
   }
 
   /** Pinhole projection with the rational distortion model actually used by
@@ -131,6 +137,30 @@ object Geometry {
     }
     x :+ 1.0
   }
+
+  /** solveHomography as a Spark UDF: (src array<array<double>> 4x2,
+    * dst 4x2) -> array<double> 9, so the solve is reachable from the engine
+    * (SQL surface / DataFrame) and not only from driver-side Scala. UDF
+    * rather than codegen Expression: it runs once per image group (3,108 in
+    * the reference), never per pixel — not a hot path.
+    */
+  def solveHomographyUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (src: Seq[Seq[Double]], dst: Seq[Seq[Double]]) =>
+      solveHomography(
+        src.map(p => (p(0), p(1))), dst.map(p => (p(0), p(1)))).toSeq
+    }
+
+  /** Elementwise luminance scale x0.9 on an array column
+    * (lumiadjust.py:14: pcomb -s 0.9; the pure-Spark semantic form S10/X15).
+    */
+  def luminanceScale(pixels: Column, factor: Double = 0.9): Column =
+    transform(pixels, x => x.cast("double") * lit(factor))
+
+  /** Center crop of a 1-D numeric array: elements [lo, lo+len)
+    * 1-based — the generic form of cut600.py:30-32's 800->640 crop.
+    */
+  def centerCrop(arr: Column, lo: Int, len: Int): Column =
+    slice(arr, lo, len)
 
   /** Closed-form SE(3) inverse of a 4x4 [R|t] (row-major 16)
     * (point3d_transformation.py:177-191, commented variant): R^T, -R^T t.

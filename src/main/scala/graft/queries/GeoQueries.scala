@@ -1,5 +1,257 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.ops.{Geometry => G, Tables => T}
+
+/** Geometry family X5–X15 (SURVEY.md §2.7) declared as queries over
+  * lineitem-derived numeric columns, mirroring the reference's
+  * per-record math (point3d_transformation.py:87-120,
+  * extrinsic_calibration.py:114-124, image_cut_warp.py:33-36).
+  *
+  * Float policy (SURVEY §7.4): pure arithmetic chains (+,*,/,sqrt) are
+  * IEEE bit-identical when both engines evaluate the same expression text
+  * → round 9. Transcendental chains (sin/cos) differ in the last ulp
+  * between Java and libm → round 6.
+  */
 object GeoQueries {
-  def defs: Seq[QueryDef] = Seq()
+
+  // Exact-decimal orthonormal rotation (3-4-5 Pythagorean rows) + offset:
+  // a true rigid transform whose entries are exactly representable.
+  private val T4x4 = Seq(
+    0.36, 0.48, -0.8, 10.0,
+    -0.8, 0.6, 0.0, -5.0,
+    0.48, 0.64, 0.6, 2.5,
+    0.0, 0.0, 0.0, 1.0)
+
+  private val H3x3 = Seq(
+    1.2, 0.1, -30.0,
+    -0.05, 0.95, 12.5,
+    0.0002, -0.0001, 1.0)
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // X5: Euclidean norm per residual (extrinsic_calibration.py:212,
+    // camera_calib.py:109-110).
+    QueryDef("x5_norm_residual",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sqrt((l_quantity - 25.0) * (l_quantity - 25.0) +
+        |             (l_discount * 100.0 - 5.0) * (l_discount * 100.0 - 5.0)),
+        |        9) AS norm
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+      val du = col("l_quantity") - 25.0
+      val dv = col("l_discount") * 100.0 - 5.0
+      T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(G.norm2(du, dv), 9).as("norm"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // X6: homogeneous 4x4 transform p' = T @ [p;1]
+    // (point3d_transformation.py:109-120).
+    QueryDef("x6_rigid_transform",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(0.36 * x + 0.48 * y + -0.8 * z + 10.0, 9) AS px,
+        |  round(-0.8 * x + 0.6 * y + 0.0 * z + -5.0, 9) AS py,
+        |  round(0.48 * x + 0.64 * y + 0.6 * z + 2.5, 9) AS pz
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity AS x,
+        |        l_extendedprice / 1000.0 AS y, l_discount * 10.0 AS z
+        |      FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+      val base = T.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("x"),
+        (col("l_extendedprice") / 1000.0).as("y"),
+        (col("l_discount") * 10.0).as("z"))
+      val (px, py, pz) = G.rigidTransform(T4x4, col("x"), col("y"), col("z"))
+      base.select(col("l_orderkey"), col("l_linenumber"),
+          round(px, 9).as("px"), round(py, 9).as("py"), round(pz, 9).as("pz"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // X7: euler ZYX (degrees, KUKA A,B,C) -> rotation matrix
+    // (point3d_transformation.py:87-104). Trig -> round 6.
+    QueryDef("x7_euler_rotation",
+      """SELECT l_orderkey, l_linenumber,
+        |  0.0 + round(cos(radians(a)) * cos(radians(b)), 6) AS r00,
+        |  0.0 + round(cos(radians(a)) * sin(radians(b)) * sin(radians(c)) -
+        |        sin(radians(a)) * cos(radians(c)), 6) AS r01,
+        |  0.0 + round(cos(radians(a)) * sin(radians(b)) * cos(radians(c)) +
+        |        sin(radians(a)) * sin(radians(c)), 6) AS r02,
+        |  0.0 + round(sin(radians(a)) * cos(radians(b)), 6) AS r10,
+        |  0.0 + round(sin(radians(a)) * sin(radians(b)) * sin(radians(c)) +
+        |        cos(radians(a)) * cos(radians(c)), 6) AS r11,
+        |  0.0 + round(sin(radians(a)) * sin(radians(b)) * cos(radians(c)) -
+        |        cos(radians(a)) * sin(radians(c)), 6) AS r12,
+        |  0.0 + round(-sin(radians(b)), 6) AS r20,
+        |  0.0 + round(cos(radians(b)) * sin(radians(c)), 6) AS r21,
+        |  0.0 + round(cos(radians(b)) * cos(radians(c)), 6) AS r22
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |        CAST(l_partkey % 360 - 180 AS DOUBLE) AS a,
+        |        CAST(l_suppkey % 180 - 90 AS DOUBLE) AS b,
+        |        CAST(l_linenumber * 30 AS DOUBLE) AS c
+        |      FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+      val base = T.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 360 - 180).cast("double").as("a"),
+        (col("l_suppkey") % 180 - 90).cast("double").as("b"),
+        (col("l_linenumber") * 30).cast("double").as("c"))
+      val m = G.eulerZyxToMatrix(col("a"), col("b"), col("c"))
+      val outs = for (i <- 0 until 3; j <- 0 until 3)
+        yield (lit(0.0) + round(m(i)(j), 6)).as(s"r$i$j")
+      base.select(col("l_orderkey") +: col("l_linenumber") +: outs: _*)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // X8: Rodrigues rvec -> matrix with built-in zero-theta guard
+    // (extrinsic_calibration.py:76,105; zero vector = identity, matching
+    // cv2.Rodrigues). Trig -> round 6.
+    QueryDef("x8_rodrigues",
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber, l_discount AS rx, l_tax AS ry,
+        |         l_quantity / 100.0 AS rz
+        |  FROM lineitem),
+        |t AS (
+        |  SELECT *, sqrt(rx * rx + ry * ry + rz * rz) AS th FROM base),
+        |k AS (
+        |  SELECT *, rx / th AS kx, ry / th AS ky, rz / th AS kz,
+        |         cos(th) AS c, sin(th) AS s, 1.0 - cos(th) AS v
+        |  FROM t)
+        |SELECT l_orderkey, l_linenumber,
+        |  0.0 + round(CASE WHEN th > 0.0 THEN c + kx * kx * v ELSE 1.0 END, 6) AS r00,
+        |  0.0 + round(CASE WHEN th > 0.0 THEN kx * ky * v - kz * s ELSE 0.0 END, 6) AS r01,
+        |  0.0 + round(CASE WHEN th > 0.0 THEN kx * kz * v + ky * s ELSE 0.0 END, 6) AS r02,
+        |  0.0 + round(CASE WHEN th > 0.0 THEN ky * kx * v + kz * s ELSE 0.0 END, 6) AS r10,
+        |  0.0 + round(CASE WHEN th > 0.0 THEN c + ky * ky * v ELSE 1.0 END, 6) AS r11,
+        |  0.0 + round(CASE WHEN th > 0.0 THEN ky * kz * v - kx * s ELSE 0.0 END, 6) AS r12,
+        |  0.0 + round(CASE WHEN th > 0.0 THEN kz * kx * v - ky * s ELSE 0.0 END, 6) AS r20,
+        |  0.0 + round(CASE WHEN th > 0.0 THEN kz * ky * v + kx * s ELSE 0.0 END, 6) AS r21,
+        |  0.0 + round(CASE WHEN th > 0.0 THEN c + kz * kz * v ELSE 1.0 END, 6) AS r22
+        |FROM k ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+      val base = T.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_discount").as("rx"), col("l_tax").as("ry"),
+        (col("l_quantity") / 100.0).as("rz"))
+      val m = G.rodrigues(col("rx"), col("ry"), col("rz"))
+      val outs = for (i <- 0 until 3; j <- 0 until 3)
+        yield (lit(0.0) + round(m(i)(j), 6)).as(s"r$i$j")
+      base.select(col("l_orderkey") +: col("l_linenumber") +: outs: _*)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // X9: pinhole projection with rational distortion (k1,k2,p1,p2,k4;
+    // extrinsic_calibration.py:114-124, camera_calib.py:101-102).
+    // Pure arithmetic -> round 9.
+    QueryDef("x9_project_points",
+      """WITH p AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    (l_quantity - 25.0) AS x, (l_discount * 100.0 - 5.0) AS y,
+        |    (CAST(l_linenumber AS DOUBLE) + 10.0) AS z
+        |  FROM lineitem),
+        |n AS (
+        |  SELECT *, x / z AS xn, y / z AS yn FROM p),
+        |r AS (
+        |  SELECT *, xn * xn + yn * yn AS r2 FROM n),
+        |dd AS (
+        |  SELECT *,
+        |    (1.0 + 0.1 * r2 + -0.05 * r2 * r2) / (1.0 + 0.02 * r2) AS radial
+        |  FROM r)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(1000.5 * (xn * radial + 0.002 * xn * yn +
+        |        -0.002 * (r2 + 2.0 * xn * xn)) + 960.0, 9) AS u,
+        |  round(998.25 * (yn * radial + 0.001 * (r2 + 2.0 * yn * yn) +
+        |        -0.004 * xn * yn) + 540.0, 9) AS v
+        |FROM dd ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+      val base = T.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") - 25.0).as("x"),
+        (col("l_discount") * 100.0 - 5.0).as("y"),
+        (col("l_linenumber").cast("double") + 10.0).as("z"))
+      val (u, v) = G.projectPoint(col("x"), col("y"), col("z"),
+        fx = 1000.5, fy = 998.25, cx = 960.0, cy = 540.0,
+        k1 = 0.1, k2 = -0.05, p1 = 0.001, p2 = -0.002, k4 = 0.02)
+      base.select(col("l_orderkey"), col("l_linenumber"),
+          round(u, 9).as("u"), round(v, 9).as("v"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // X10: elementwise intrinsics rescale (camera_calib.py:115-119:
+    // fx /= scale after detecting at 0.5x).
+    QueryDef("x10_intrinsics_rescale",
+      """SELECT p_partkey, round(p_retailprice / 0.5, 9) AS fx_scaled,
+        |  round((CAST(p_size AS DOUBLE) + 0.5) / 0.5, 9) AS cx_scaled
+        |FROM part ORDER BY p_partkey""") { (s, d) =>
+      T.part(s, d)
+        .select(col("p_partkey"),
+          round(col("p_retailprice") / 0.5, 9).as("fx_scaled"),
+          round((col("p_size").cast("double") + 0.5) / 0.5, 9).as("cx_scaled"))
+        .orderBy("p_partkey")
+    },
+
+    // X11: center crop as array slice (cut600.py:30-32: rows/cols 80..720
+    // of 800; generic 1-D form here: middle 6 of 10).
+    QueryDef("x11_center_crop",
+      """SELECT l_orderkey, l_linenumber,
+        |  array_to_string(list_slice(generate_series(l_orderkey, l_orderkey + 9), 3, 8), ',')
+        |    AS cropped
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+      T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          array_join(
+            G.centerCrop(sequence(col("l_orderkey"), col("l_orderkey") + 9),
+              3, 6), ",").as("cropped"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // X12 (apply direction): constant homography applied to a 2D point
+    // (image_cut_warp.py:33-36 / cv2.warpPerspective math). The solve
+    // direction is Geometry.solveHomography (+UDF), pinned by unit tests.
+    QueryDef("x12_homography_apply",
+      """WITH p AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity * 16.0 AS u,
+        |         l_extendedprice / 100.0 AS v
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT *, 0.0002 * u + -0.0001 * v + 1.0 AS wd FROM p)
+        |SELECT l_orderkey, l_linenumber,
+        |  round((1.2 * u + 0.1 * v + -30.0) / wd, 9) AS u2,
+        |  round((-0.05 * u + 0.95 * v + 12.5) / wd, 9) AS v2
+        |FROM w ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+      val base = T.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") * 16.0).as("u"),
+        (col("l_extendedprice") / 100.0).as("v"))
+      val (u2, v2) = G.homographyApply(H3x3, col("u"), col("v"))
+      base.select(col("l_orderkey"), col("l_linenumber"),
+          round(u2, 9).as("u2"), round(v2, 9).as("v2"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // X13: chessboard world-point grid generation
+    // (camera_calib.py:49-51: mgrid[0:w,0:h] * square, 45 mm squares).
+    QueryDef("x13_chessboard_grid",
+      """SELECT i, j, round(i * 45.0, 9) AS wx, round(j * 45.0, 9) AS wy
+        |FROM generate_series(0, 8) t(i), generate_series(0, 10) s(j)
+        |ORDER BY i, j""") { (s, d) =>
+      s.range(0, 9).select(col("id").as("i"))
+        .crossJoin(s.range(0, 11).select(col("id").as("j")))
+        .select(col("i"), col("j"),
+          round(col("i") * 45.0, 9).as("wx"),
+          round(col("j") * 45.0, 9).as("wy"))
+        .orderBy("i", "j")
+    },
+
+    // X15: luminance scale x0.9 (lumiadjust.py:14, pcomb -s 0.9) over an
+    // HDR-pixel-like float array; posexplode (never stringify doubles).
+    QueryDef("x15_luminance_scale",
+      """SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        |  round(CAST(unnest(embedding) AS DOUBLE) * 0.9, 9) AS lum
+        |FROM embeddings ORDER BY vec_id, pos""") { (s, d) =>
+      T.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(G.luminanceScale(col("embedding"))).as(Seq("pos", "lum")))
+        .select(col("vec_id"), col("pos"), round(col("lum"), 9).as("lum"))
+        .orderBy("vec_id", "pos")
+    }
+  )
 }
