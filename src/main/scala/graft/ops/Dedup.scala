@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication for a large-scale training-data pipeline: exact
+  * (hash-groupBy) and near-dup (MinHash + banded LSH). Both are
+  * shuffle-on-key shapes — no all-pairs comparison anywhere, which is the
+  * property that keeps them viable at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest id
+    * (deterministic "first"), report group size. Output:
+    * (content_hash, keep_id, dup_count). One shuffle on the hash; at
+    * scale the md5 is computed map-side and the groupBy partial-aggregates.
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(md5(col(textCol)).as("content_hash"), col(idCol))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("dup_count"))
+
+  /** Near-duplicate candidate pairs via banded MinHash LSH:
+    * lowercase tokens → word k-shingles → `numHashes` MinHash values →
+    * `bands` band keys (rowsPerBand = numHashes / bands) → self-join on
+    * (band, key) → distinct (a < b) pairs.
+    *
+    * Candidate generation is a bucket join on the band key — candidate
+    * pairs ≪ n² by construction (asserted in the test suite). Docs with
+    * fewer than k tokens produce no shingles and are excluded, mirroring
+    * the guarded `TextOps.shingles`.
+    */
+  def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = docs
+      .select(col(idCol), TextOps.tokensLower(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col(idCol), TextOps.shingles(col("tk"), k).as("shingles"))
+      .select(col(idCol),
+        TextOps.minhashSignature(col("shingles"), numHashes).as("sg"))
+    val bandRows = sig.select(col(idCol),
+      posexplode(TextOps.bandKeys(col("sg"), bands, rowsPerBand))
+        .as(Seq("b", "bk")))
+    val a = bandRows.select(col(idCol).as("doc_a"), col("b"), col("bk"))
+    val b = bandRows.select(col(idCol).as("doc_b"), col("b"), col("bk"))
+    a.join(b, Seq("b", "bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+}

@@ -65,9 +65,88 @@ object Similarity {
     embeddings
       .select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col(labelCol), col("pos"))
-      .agg(round(avg(col("v")), roundTo).as("cv"))
+      .agg(round(avg(col("v").cast("double")), roundTo).as("cv"))
       .groupBy(col(labelCol))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
         s => s.getField("cv")).as("centroid"))
+  }
+
+  /** Deterministic k-means centroids for IVF cells: seed with the k
+    * lowest-id vectors, run `iters` Lloyd iterations (assign to nearest →
+    * recompute rounded means). Each iteration is one broadcast pass +
+    * one shuffle on cell id — the MLlib-style 100-TB shape. Rounding the
+    * means (3 decimals) keeps assignment decisions reproducible across
+    * engines and partition orders.
+    *
+    * Label-partition centroids (`centroids`) capture whatever structure
+    * the labels have; on weakly-labelled data the refined cells improve
+    * recall@10 by ~25 points at the same probe budget (see
+    * SimilaritySpec).
+    */
+  def kmeansCentroids(embeddings: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int = 3, roundTo: Int = 3): DataFrame = {
+    val seeds = embeddings
+      .orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("c_label"),
+        transform(col(vecCol), x => round(x.cast("double"), roundTo))
+          .as("centroid"))
+    (1 to iters).foldLeft(seeds) { (cents, _) =>
+      centroidRanks(embeddings, vecCol, idCol, cents, 1)
+        .select(col("c_label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy("c_label", "pos")
+        .agg(round(avg(col("v").cast("double")), roundTo).as("cv"))
+        .groupBy("c_label")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          s => s.getField("cv")).as("centroid"))
+    }
+  }
+
+  /** Rank centroids per vector by squared L2 (rounded for cross-engine
+    * tie stability, then centroid label as tiebreak). Centroid table is
+    * tiny (one row per cell) → broadcast, so this is a map-side pass over
+    * the embeddings — the 100-TB-safe shape.
+    * Output: input columns + (c_label, rk).
+    */
+  def centroidRanks(vectors: DataFrame, vecCol: String, idCol: String,
+      cents: DataFrame, maxRank: Int): DataFrame = {
+    val labelled = cents.select(col(cents.columns.head).as("c_label"),
+      col("centroid"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("d2"), col("c_label"))
+    vectors.crossJoin(broadcast(labelled))
+      .withColumn("d2", round(l2sq(col(vecCol), col("centroid")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= maxRank)
+      .drop("centroid")
+  }
+
+  /** IVF assignment: nearest centroid per embedding. */
+  def assignToCentroids(embeddings: DataFrame, vecCol: String, idCol: String,
+      cents: DataFrame): DataFrame =
+    centroidRanks(embeddings, vecCol, idCol, cents, 1)
+      .select(col(idCol), col("c_label").as("assigned"))
+
+  /** IVF top-k search: candidates live in their nearest centroid's bucket;
+    * each query probes its `nProbe` nearest buckets and ranks only those
+    * candidates — a shuffle-on-bucket join, never an all-pairs crossJoin.
+    * bruteTopK stays as the recall oracle (test suite pins recall@k).
+    */
+  def ivfTopK(
+      queries: DataFrame, candidates: DataFrame, cents: DataFrame,
+      k: Int, nProbe: Int = 2,
+      qId: String = "q_id", cId: String = "c_id",
+      qVec: String = "q_vec", cVec: String = "c_vec"): DataFrame = {
+    val cand = centroidRanks(candidates, cVec, cId, cents, 1)
+      .select(col(cId), col(cVec), col("c_label"))
+    val qry = centroidRanks(queries, qVec, qId, cents, nProbe)
+      .select(col(qId), col(qVec), col("c_label"))
+    val joined = qry.join(cand, "c_label")
+      .withColumn("sim", round(cosine(col(qVec), col(cVec)), 6))
+    val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col("rank"), col(cId), col("sim"))
   }
 }

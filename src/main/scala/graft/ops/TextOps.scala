@@ -39,21 +39,27 @@ object TextOps {
     aggregate(toks, lit(0), (acc, t) => acc + length(t))
 
   /** Word k-shingles (k consecutive tokens joined by one space) —
-    * the unit for MinHash / Jaccard near-dup detection.
-    * Requires size(toks) >= k (filter first).
+    * the unit for MinHash / Jaccard near-dup detection. Guarded: fewer
+    * than k tokens yields an empty array (an unguarded descending
+    * `sequence` would silently read tokens from the END via negative
+    * element_at indices — garbage fingerprints, not an error).
     */
   def shingles(toks: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), size(toks) - k),
-      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))
+    when(size(toks) >= k,
+      transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array())
 
-  /** Character n-grams of a string (positions 1..len-n+1).
-    * Requires length(text) >= n (filter first).
+  /** Character n-grams of a string (positions 1..len-n+1); empty array
+    * when the text is shorter than n (same guard rationale as shingles).
     */
   def charGrams(text: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), length(text) - (n - 1)),
-      i => text.substr(i, lit(n)))
+    when(length(text) >= n,
+      transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+      .otherwise(array())
 
   /** One MinHash value: min over shingles of md5(seedTag | shingle).
     * Lexicographic min over fixed-width hex == numeric min — portable
@@ -74,28 +80,36 @@ object TextOps {
     md5(concat_ws("", (0 until rowsPerBand).map(r =>
       element_at(signature, band * rowsPerBand + r + 1)): _*))
 
-  /** Bit j (0..31) of a token: hex digit j/4 of md5(token), bit (3 - j%4)
-    * of that digit. Pure arithmetic so DuckDB reproduces it exactly.
+  /** All band keys at once: array of `bands` md5 keys, each hashing
+    * `rowsPerBand` consecutive signature values. posexplode this to get
+    * (band, key) rows for the bucket join.
     */
-  private def md5Bit(t: Column, j: Column): Column = {
-    val digit = md5(t).substr(floor(j / 4).cast("int") + 1, lit(1))
-    val v = call_function("instr", lit("0123456789abcdef"), digit) - 1
-    floor(v / pow(lit(2.0), lit(3) - j % 4)).cast("int") % 2
-  }
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(array_join(
+        slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), "")))
 
-  /** 32-bit SimHash as a '0'/'1' bitstring: per token take the first 8 hex
-    * digits of md5, accumulate +/-1 per bit over all tokens, emit sign bits.
-    * A shuffle-free per-row fold — exactly what you want at 100 TB.
+  /** 32-bit SimHash as a '0'/'1' bitstring: ONE md5 per token (first 8 hex
+    * digits → 32-bit int), bits extracted arithmetically MSB-first,
+    * accumulate +/-1 per bit over all tokens, emit sign bits. A
+    * shuffle-free per-row fold — exactly what you want at 100 TB.
+    * (h / 2^k is exact power-of-two division in doubles, so floor%2 is the
+    * exact bit — and it is DuckDB-reproducible, unlike shiftright which
+    * Spark only accepts with literal shift amounts.)
     */
   def simhash32(toks: Column): Column = {
+    val hs = transform(toks, t =>
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
     val counts = aggregate(
-      toks,
-      array_repeat(lit(0), 32),
-      (acc, t) =>
+      hs,
+      array_repeat(lit(0L), 32),
+      (acc, h) =>
         zip_with(
           acc,
-          transform(sequence(lit(0), lit(31)), j => md5Bit(t, j)),
-          (x, y) => x + y * 2 - 1))
+          sequence(lit(0L), lit(31L)),
+          (x, j) =>
+            x + (floor(h / pow(lit(2.0), lit(31L) - j)).cast("long") % 2L)
+              * 2L - 1L))
     array_join(
       transform(counts, c => when(c > 0, lit("1")).otherwise(lit("0"))), "")
   }

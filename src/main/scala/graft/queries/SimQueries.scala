@@ -1,5 +1,92 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.ops.{Similarity => S, Tables => T}
+
+/** Similarity search over the `embeddings` table (Array[Float], dim 64).
+  * Brute-force cosine top-k is the oracle-checkable baseline; IVF
+  * (centroid-bucketed) assignment and search are the 100-TB path —
+  * assignment is oracle-checked, the pruned search's recall vs brute
+  * force is pinned in the test suite.
+  */
 object SimQueries {
-  def defs: Seq[QueryDef] = Seq()
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Brute-force cosine top-k (baseline / oracle; the query side must be
+    // tiny — candidates scan stays distributed, queries broadcast).
+    QueryDef("sim1_brute_topk",
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+        |s AS (
+        |  SELECT q_id, c_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))),
+        |      6) AS sim
+        |  FROM q CROSS JOIN c),
+        |r AS (SELECT q_id, c_id, sim,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+        |      FROM s)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, sim FROM r
+        |WHERE rank <= 10 ORDER BY q_id, rank""") { (s, d) =>
+      val emb = T.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = emb
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      S.bruteTopK(q, c, 10)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .select("q_id", "rank", "c_id", "sim")
+        .orderBy("q_id", "rank")
+    },
+
+    // IVF assignment: nearest (rounded) per-label centroid per embedding —
+    // broadcast centroid table, map-side distance ranking.
+    QueryDef("sim2_ivf_assign",
+      """WITH comp AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS c_label, pos, round(avg(v), 3) AS cv
+        |  FROM comp GROUP BY label, pos),
+        |centl AS (
+        |  SELECT c_label, list(cv ORDER BY pos) AS centroid
+        |  FROM cent GROUP BY c_label),
+        |dist AS (
+        |  SELECT e.vec_id, c.c_label,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) *
+        |           (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))), 6) AS d2
+        |  FROM embeddings e CROSS JOIN centl c),
+        |r AS (SELECT vec_id, c_label,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
+        |      FROM dist)
+        |SELECT vec_id, c_label AS assigned FROM r WHERE rk = 1
+        |ORDER BY vec_id""") { (s, d) =>
+      val emb = T.embeddings(s, d)
+      val cents = S.centroids(emb, "embedding", "label")
+      S.assignToCentroids(emb, "embedding", "vec_id", cents)
+        .orderBy("vec_id")
+    },
+
+    // IVF pruned top-k over k-means cells: probe the 8 nearest of 25
+    // cells per query (~32% of candidates scanned), rank only their
+    // members. No SQL oracle (rows-only check); recall@10 >= 0.9 vs brute
+    // force is pinned in the test suite. This is the plan that survives
+    // 100 TB: broadcast centroids + one shuffle on cell id.
+    QueryDef.noOracle("sim3_ivf_topk") { (s, d) =>
+      val emb = T.embeddings(s, d)
+      val cents = S.kmeansCentroids(emb, "embedding", "vec_id", 25)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = emb
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      S.ivfTopK(q, c, cents, k = 10, nProbe = 8)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("q_id", "rank")
+    }
+  )
 }

@@ -1,5 +1,181 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextOps => TX, Tables => T}
+
+/** Text-analysis + dedup family over `documents` — the training-data
+  * pipeline operators (tokenize, quality score, language ID, fingerprint,
+  * exact dedup, banded near-dup). All expression trees or bucket joins;
+  * every query here has a full DuckDB oracle.
+  */
 object TextQueries {
-  def defs: Seq[QueryDef] = Seq()
+
+  private val stopEn = Seq("the", "a", "of", "and", "in", "to", "is")
+  private val stopQl = Seq("table", "row", "value")
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Token counting: whitespace tokens, punctuation count, total token
+    // length (whitespace + BPE-ish regex tokenizers in TextOps).
+    QueryDef("t1_token_stats",
+      """SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
+        |  CAST(coalesce(list_sum(list_transform(tk, t -> length(t))), 0) AS BIGINT) AS total_tok_len
+        |FROM (SELECT doc_id, text,
+        |        list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+        |      FROM documents)
+        |ORDER BY doc_id""") { (s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"), TX.tokens(col("text")).as("tk"), col("text"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("bigint").as("n_tokens"),
+          TX.punctCount(col("text")).cast("bigint").as("n_punct"),
+          TX.totalTokenLen(col("tk")).cast("bigint").as("total_tok_len"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: stopword ratio, mean token length, punct ratio
+    // (length/punct/stopword heuristics for corpus filtering).
+    QueryDef("t2_quality_score",
+      """SELECT doc_id,
+        |  round(CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+        |        / len(tk), 6) AS stopword_ratio,
+        |  round(CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+        |        / len(tk), 6) AS mean_tok_len,
+        |  round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |        / length(text), 6) AS punct_ratio
+        |FROM (SELECT doc_id, text,
+        |        list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |      FROM documents)
+        |WHERE len(tk) > 0 AND length(text) > 0
+        |ORDER BY doc_id""") { (s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          TX.tokensLower(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0 && length(col("text")) > 0)
+        .select(col("doc_id"),
+          round(TX.stopwordHits(col("tk"), stopEn).cast("double") /
+            size(col("tk")), 6).as("stopword_ratio"),
+          round(TX.totalTokenLen(col("tk")).cast("double") /
+            size(col("tk")), 6).as("mean_tok_len"),
+          round(TX.punctCount(col("text")).cast("double") /
+            length(col("text")), 6).as("punct_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Language ID by stopword-list scoring (n-gram-free heuristic):
+    // score per candidate vocabulary, argmax with a fixed preference
+    // order — fully deterministic, oracle-identical CASE.
+    QueryDef("t3_lang_id",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','in','to','is'))) AS BIGINT) AS score_en,
+        |  CAST(len(list_filter(tk, t -> t IN ('table','row','value'))) AS BIGINT) AS score_ql,
+        |  CASE WHEN len(list_filter(tk, t -> t IN ('the','a','of','and','in','to','is')))
+        |            >= len(list_filter(tk, t -> t IN ('table','row','value')))
+        |       THEN 'en' ELSE 'ql' END AS lang_guess
+        |FROM (SELECT doc_id,
+        |        list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |      FROM documents)
+        |ORDER BY doc_id""") { (s, d) =>
+      val en = TX.stopwordHits(col("tk"), stopEn)
+      val ql = TX.stopwordHits(col("tk"), stopQl)
+      T.documents(s, d)
+        .select(col("doc_id"), TX.tokensLower(col("text")).as("tk"))
+        .select(col("doc_id"),
+          en.cast("bigint").as("score_en"),
+          ql.cast("bigint").as("score_ql"),
+          when(en >= ql, "en").otherwise("ql").as("lang_guess"))
+        .orderBy("doc_id")
+    },
+
+    // Exact dedup: md5(content) groupBy, keep smallest id
+    // (hash-groupBy — one shuffle, map-side partial agg).
+    QueryDef("t4_exact_dedup",
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY keep_id""") { (s, d) =>
+      Dedup.exactDedup(T.documents(s, d), "doc_id", "text")
+        .orderBy("keep_id")
+    },
+
+    // Document fingerprint granularity: char trigram counts over the
+    // normalized text (rolling-hash-style fingerprint input).
+    QueryDef("t5_chargram_stats",
+      """SELECT doc_id,
+        |  CAST(len(g) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct
+        |FROM (SELECT doc_id,
+        |        list_transform(range(1, length(norm) - 1), i -> substr(norm, i, 3)) AS g
+        |      FROM (SELECT doc_id,
+        |              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |            FROM documents)
+        |      WHERE length(norm) >= 3)
+        |ORDER BY doc_id""") { (s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"), TX.normalized(col("text")).as("norm"))
+        .filter(length(col("norm")) >= 3)
+        .select(col("doc_id"), TX.charGrams(col("norm"), 3).as("g"))
+        .select(col("doc_id"),
+          size(col("g")).cast("bigint").as("n_grams"),
+          size(array_distinct(col("g"))).cast("bigint").as("n_distinct"))
+        .orderBy("doc_id")
+    },
+
+    // Near-dup candidate pairs: shingles(3) -> 8 MinHashes -> 4 bands of 2
+    // -> bucket self-join. Candidates << n^2 (29 pairs of 124,750 possible
+    // at sf0.01) — the banded join IS the scale story.
+    QueryDef("t6_near_dup_candidates",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, len(tk) - 2),
+        |      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) AS shingles
+        |  FROM toks WHERE len(tk) >= 3),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 8),
+        |    h -> list_min(list_transform(shingles,
+        |      s -> md5(CAST(h AS VARCHAR) || '|' || s)))) AS sg
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b, md5(sg[2*b+1] || sg[2*b+2]) AS bk
+        |  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b ON a.bk = b.bk AND a.b = b.b
+        |  AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""") { (s, d) =>
+      Dedup.nearDupCandidates(T.documents(s, d), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash document fingerprint: one md5 per token, 32 sign bits.
+    QueryDef("t7_simhash",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id, md5(t) AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    CASE j % 4
+        |      WHEN 0 THEN (strpos('0123456789abcdef', substr(h, j // 4 + 1, 1)) - 1) // 8 % 2
+        |      WHEN 1 THEN (strpos('0123456789abcdef', substr(h, j // 4 + 1, 1)) - 1) // 4 % 2
+        |      WHEN 2 THEN (strpos('0123456789abcdef', substr(h, j // 4 + 1, 1)) - 1) // 2 % 2
+        |      ELSE (strpos('0123456789abcdef', substr(h, j // 4 + 1, 1)) - 1) % 2
+        |    END AS bit
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS j)),
+        |sums AS (SELECT doc_id, j, sum(bit * 2 - 1) AS c FROM bits GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  string_agg(CASE WHEN c > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+        |FROM sums GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"), TX.tokensLower(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), TX.simhash32(col("tk")).as("simhash"))
+        .orderBy("doc_id")
+    }
+  )
 }

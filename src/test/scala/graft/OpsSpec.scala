@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Unit suites over tiny literal DataFrames + sf0.001/sf0.01 fixtures for
+  * the relational operators (SURVEY.md §5 items 3-5).
+  */
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("positional join addresses the COMPACTED post-anti-join sequence") {
+    // reference semantics (point3d_transformation.py:148-156): drop missing
+    // keys, THEN index by position — python equivalent:
+    //   filtered = [k for k in base if k not in missing]; filtered[idx]
+    val base = (0L to 9L).toDF("k")
+    val missing = Seq(2L, 5L)
+    val filteredScala = (0L to 9L).filterNot(missing.contains)
+    val lookups = Seq(0L, 3L, 7L).toDF("idx0")
+    val out = Joins.positionalJoin(base, "k", missing, lookups, col("idx0"))
+      .select("idx0", "k").as[(Long, Long)].collect().toMap
+    Seq(0, 3, 7).foreach { i =>
+      assert(out(i.toLong) == filteredScala(i),
+        s"idx $i -> ${out(i.toLong)} want ${filteredScala(i)}")
+    }
+  }
+
+  test("dropKeys removes exactly the listed keys") {
+    val base = (0L to 9L).toDF("k")
+    val kept = Joins.dropKeys(base, "k", Seq(1L, 8L)).as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 2L, 3L, 4L, 5L, 6L, 7L, 9L))
+  }
+}
+
+class WindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def evTs(rows: Seq[(Long, Long)]) =
+    rows.toDF("event_id", "ts") // ts in nanos
+
+  test("gapSessions flags a gap between two FULL groups") {
+    val sec = 1000000000L
+    // group0: t=0..4s (5 rows), group1: t=30..34s (5 rows) -> gap 26s > 12s
+    val rows = (0L to 4L).map(i => (i, i * sec)) ++
+      (5L to 9L).map(i => (i, (25 + i) * sec))
+    val out = Windows.gapSessions(evTs(rows), "event_id", "ts")
+      .select("group_id", "gap_ns").collect()
+    assert(out.length == 1 && out(0).getLong(0) == 0L)
+  }
+
+  test("a partial trailing group is never gap-checked (reference parity)") {
+    val sec = 1000000000L
+    // group0 full, group1 has only 3 rows far in the future
+    val rows = (0L to 4L).map(i => (i, i * sec)) ++
+      (5L to 7L).map(i => (i, (1000 + i) * sec))
+    val out = Windows.gapSessions(evTs(rows), "event_id", "ts").collect()
+    assert(out.isEmpty, "partial next group must not produce a gap row")
+  }
+
+  test("scale-safe numbering path returns identical gaps on sf0.001") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .withColumn("ts", expr("ts div 1000 * 1000"))
+    val a = Windows.gapSessions(ev, "event_id", "ts")
+    val b = Windows.gapSessionsScalable(ev, "event_id", "ts")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() > 0, "sf0.001 should contain gaps at 12s threshold")
+  }
+
+  test("withGlobalRowNumbers equals window row_number") {
+    val df = Tables.supplier(spark, sf("sf0.001"))
+    val viaRdd = Windows.withGlobalRowNumbers(df, "s_suppkey")
+      .select(col("s_suppkey"), col("rn0"))
+    val viaWindow = df.select(col("s_suppkey"),
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("s_suppkey"))) - 1).cast("long").as("rn0"))
+    assert(viaRdd.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaRdd).isEmpty)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactDedup keeps the smallest id per content group") {
+    val docs = Seq((1L, "aa bb"), (2L, "cc"), (5L, "aa bb"), (9L, "cc"),
+      (3L, "unique")).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("keep_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("nearDupCandidates finds a planted near-duplicate pair") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val nearDup = base.replace("lazy", "sleepy")
+    val noise = (0 until 30).map(i =>
+      (100L + i, s"totally different content number $i with words w$i x$i y$i z$i"))
+    val docs = (Seq((1L, base), (2L, nearDup)) ++ noise).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"planted pair missing; got $pairs")
+  }
+
+  test("candidate pairs << n^2 on sf0.01 documents") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val n = docs.count()
+    val pairs = Dedup.nearDupCandidates(docs, "doc_id", "text").count()
+    assert(pairs < n * (n - 1) / 2 / 100,
+      s"$pairs candidate pairs vs ${n * (n - 1) / 2} possible — banding broken?")
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  test("IVF recall@10 >= 0.9 vs brute force on sf0.01 embeddings") {
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    // 25 k-means cells, probe 8 (~32% of candidates scanned)
+    val cents = Similarity.kmeansCentroids(emb, "embedding", "vec_id", 25)
+    val brute = Similarity.bruteTopK(q, c, 10)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, c, cents, k = 10, nProbe = 8)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall@10 = $recall")
+  }
+
+  test("ivfTopK plan has no cartesian product against the candidate set") {
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val cents = Similarity.centroids(emb, "embedding", "label")
+    val plan = Similarity.ivfTopK(q, c, cents, k = 10)
+      .queryExecution.executedPlan.toString
+    // the only broadcast-nested-loop allowed is vs the tiny centroid table;
+    // the query-candidate match must be a real equi-join on the bucket
+    assert(plan.contains("c_label"), "bucket join key missing from plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
+
+  test("dot/cosine: deterministic left-to-right fold") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val got = df.select(Similarity.dot(col("a"), col("b"))).collect()(0)
+      .getDouble(0)
+    assert(got == 32.0)
+    val cos = df.select(Similarity.cosine(col("a"), col("a"))).collect()(0)
+      .getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+  }
+}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles guard: fewer than k tokens -> empty array, not garbage") {
+    val df = Seq("one two", "one two three four").toDF("text")
+      .select(TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    val out = df.as[Seq[String]].collect()
+    assert(out(0) == Seq())
+    assert(out(1) == Seq("one two three", "two three four"))
+  }
+
+  test("charGrams guard: short text -> empty array") {
+    val df = Seq("ab", "abcd").toDF("t")
+      .select(TextOps.charGrams(col("t"), 3).as("g"))
+    val out = df.as[Seq[String]].collect()
+    assert(out(0) == Seq() && out(1) == Seq("abc", "bcd"))
+  }
+
+  test("simhash32 matches a slow reference implementation") {
+    def slowSimhash(tokens: Seq[String]): String = {
+      val counts = new Array[Int](32)
+      tokens.foreach { t =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(t.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        val h = java.lang.Long.parseLong(hex, 16)
+        for (j <- 0 until 32) {
+          val bit = ((h >> (31 - j)) & 1L).toInt
+          counts(j) += bit * 2 - 1
+        }
+      }
+      counts.map(c => if (c > 0) "1" else "0").mkString
+    }
+    val toks = Seq("hello", "world", "spark", "hello")
+    val got = Seq(toks).toDF("tk")
+      .select(TextOps.simhash32(col("tk"))).collect()(0).getString(0)
+    assert(got == slowSimhash(toks))
+  }
+
+  test("minhash signature is stable and collision-prone for near-dups") {
+    val df = Seq("a b c d e f g", "a b c d e f g").toDF("text")
+      .select(TextOps.minhashSignature(
+        TextOps.shingles(TextOps.tokens(col("text")), 3), 8).as("sig"))
+    val sigs = df.as[Seq[String]].collect()
+    assert(sigs(0) == sigs(1) && sigs(0).length == 8)
+  }
+}
+
+class AggsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("grandStats matches hand-computed values (stddev_pop, median, rmse)") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("e")
+    val stats = Aggs.grandStats(col("e"))
+    val r = df.agg(stats.head, stats.tail: _*).collect()(0)
+    assert(r.getDouble(0) == 2.5) // mean
+    assert(math.abs(r.getDouble(1) - math.sqrt(1.25)) < 1e-6) // pop std
+    assert(r.getDouble(2) == 4.0 && r.getDouble(3) == 1.0)
+    assert(r.getDouble(4) == 2.5) // median
+    assert(math.abs(r.getDouble(5) - math.sqrt(7.5)) < 1e-6) // rmse
+  }
+
+  test("twoLevelMean: per-group then global") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("g", "v")
+    val r = Aggs.twoLevelMean(df, "g", "v").collect()(0)
+    assert(r.getDouble(0) == 6.0) // mean of {2, 10}
+    assert(r.getLong(2) == 2L)
+  }
+}
