@@ -91,6 +91,33 @@ object Geometry {
     (lit(fx) * xd + lit(cx), lit(fy) * yd + lit(cy))
   }
 
+  /** Full cv2 rational-model projection (extrinsic_calibration.py:114-124
+    * via cv2.projectPoints): camera-frame (x,y,z) -> pixels, with
+    * radial (1 + k1 r² + k2 r⁴ + k3 r⁶)/(1 + k4 r² + k5 r⁴ + k6 r⁶) and
+    * tangential p1,p2. `dist` is the OpenCV 14-vector
+    * [k1,k2,p1,p2,k3,k4,k5,k6,s1..s4,τx,τy] (s/τ unused — the reference
+    * calibrates with CALIB_RATIONAL_MODEL|FIX_K3..K5, camera_calib.py:101,
+    * so its only nonzero denominator term is k6 r⁶).
+    */
+  def projectPointCv(
+      x: Column, y: Column, z: Column,
+      k: Seq[Double], dist: Seq[Double]): (Column, Column) = {
+    require(k.length == 9 && dist.length >= 8)
+    val Seq(k1, k2, p1, p2, k3, k4, k5, k6) = dist.take(8)
+    val (fx, fy, cx, cy) = (k(0), k(4), k(2), k(5))
+    val xn = x / z
+    val yn = y / z
+    val r2 = xn * xn + yn * yn
+    val radial =
+      (lit(1.0) + lit(k1) * r2 + lit(k2) * r2 * r2 + lit(k3) * r2 * r2 * r2) /
+      (lit(1.0) + lit(k4) * r2 + lit(k5) * r2 * r2 + lit(k6) * r2 * r2 * r2)
+    val xd = xn * radial + lit(2.0 * p1) * xn * yn +
+      lit(p2) * (r2 + lit(2.0) * xn * xn)
+    val yd = yn * radial + lit(p1) * (r2 + lit(2.0) * yn * yn) +
+      lit(2.0 * p2) * xn * yn
+    (lit(fx) * xd + lit(cx), lit(fy) * yd + lit(cy))
+  }
+
   /** Apply a 3x3 homography (row-major 9 doubles) to a 2D point
     * (image_cut_warp.py:33-36 / cv2.warpPerspective math).
     */
