@@ -114,6 +114,36 @@ object WindowQueries {
           .as("first_key"))
     },
 
+    // W8 (§2.10 batch form): event-time session windows per user with a
+    // 600 s gap — Spark session_window vs the lag/cumsum formulation in
+    // DuckDB. Two events `gap` apart exactly start a new session in both.
+    QueryDef("w8_session_windows",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |o AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |              >= 600000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM o)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  min(us) AS start_us, max(us) AS end_us
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, start_us""") { (s, d) =>
+      val ev = T.events(s, d)
+        .withColumn("tsw", expr("timestamp_micros(ts div 1000)"))
+      graft.streaming.Sessionize.sessionGaps(ev, "tsw", 600, Seq("user_id"))
+        .select(col("user_id"), col("n"),
+          unix_micros(col("start_ts")).as("start_us"),
+          unix_micros(col("end_ts")).as("end_us"))
+        .orderBy("user_id", "start_us")
+    },
+
     // W7: deterministic sample-first-N (extrinsic_calibration.py:41-42:
     // first 20 ids; we pin the order explicitly, SURVEY §2.5 W7).
     QueryDef("w7_sample_first_n",

@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Sessionize
+import graft.streaming.Sessionize.FileEvent
+
+/** Streaming sessionization (SURVEY.md §2.10): group-of-5 assembly with
+  * event-time timeout flush, driven through a MemoryStream.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ev(pose: String, slot: Int, sec: Long) =
+    FileEvent(pose, slot, s"${pose}_$slot.JPG", new Timestamp(sec * 1000))
+
+  test("completeGroups emits full groups immediately, flushes partials on watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[FileEvent]
+    val out = Sessionize.completeGroups(input.toDS(), groupSize = 5,
+      gapSeconds = 12)
+    val query = out.writeStream
+      .format("memory").queryName("groups").outputMode(OutputMode.Append())
+      .start()
+    try {
+      // pose 0: all five exposures; pose 1: only three
+      input.addData((0 until 5).map(s => ev("0", s, 100 + s)) ++
+        (0 until 3).map(s => ev("1", s, 110 + s)))
+      query.processAllAvailable()
+      val afterBatch1 = spark.table("groups").as[Sessionize.PoseGroup]
+        .collect()
+      assert(afterBatch1.map(_.poseId).toSet == Set("0"))
+      assert(afterBatch1.head.complete && afterBatch1.head.n == 5)
+      assert(afterBatch1.head.paths == (0 until 5).map(s => s"0_$s.JPG"))
+
+      // advance the watermark far past pose 1's last event + 12s
+      input.addData(ev("2", 0, 500))
+      query.processAllAvailable()
+      input.addData(ev("2", 1, 600)) // one more to trigger timeout sweep
+      query.processAllAvailable()
+      val flushed = spark.table("groups").as[Sessionize.PoseGroup]
+        .collect().filter(_.poseId == "1")
+      assert(flushed.length == 1, "partial group must flush on timeout")
+      assert(!flushed.head.complete && flushed.head.n == 3)
+    } finally query.stop()
+  }
+
+  test("sessionGaps (batch form) splits on gaps over the threshold") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", new Timestamp(1000L)), ("u1", new Timestamp(5000L)),
+      ("u1", new Timestamp(60000L)), // 55s gap -> new session
+      ("u2", new Timestamp(2000L))
+    ).toDF("user", "ts")
+    val sessions = Sessionize.sessionGaps(df, "ts", 12, Seq("user"))
+      .orderBy("user", "start_ts").collect()
+    assert(sessions.length == 3)
+    assert(sessions(0).getAs[Long]("n") == 2) // u1 first session
+    assert(sessions(1).getAs[Long]("n") == 1) // u1 second session
+    assert(sessions(2).getAs[Long]("n") == 1) // u2
+  }
+}
