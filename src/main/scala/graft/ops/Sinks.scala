@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink operators (SURVEY.md §2.1 S5-S11). The reference persists one
+  * pickle + npz sidecars and writes renamed/annotated files; here every
+  * persistent artifact is a parquet table (atomic job commit) and
+  * side-effect writers are foreachPartition/pipe stages.
+  */
+object Sinks {
+
+  /** S5: state checkpoint — the DataManager-pickle equivalent. One
+    * parquet table per catalog field, overwritten atomically (Spark's
+    * commit protocol); lineage replaces in-place mutation.
+    */
+  def saveTable(df: DataFrame, dir: String, name: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$name.parquet")
+
+  /** S5 load side (round-trips saveTable). */
+  def loadTable(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** S6: matrix sink — the npz equivalent (camera_calib.py:124-128,
+    * extrinsic_calibration.py:381-387): named row-major matrices as a
+    * 1-row table of array columns.
+    */
+  def matrixSink(spark: SparkSession, dir: String, name: String,
+      matrices: Map[String, Seq[Double]]): Unit = {
+    val cols = matrices.toSeq.sortBy(_._1).map { case (n, m) =>
+      array(m.map(lit): _*).as(n)
+    }
+    saveTable(spark.range(1).select(cols: _*), dir, name)
+  }
+
+  /** S11: rename-key projection sink (file_rename_sort.py:7-18): the
+    * "rename" is a projection computing the new key `{i div 5}_{i mod 5}`
+    * from the ordinal; partitionBy(group) gives the directory layout.
+    */
+  def renameSink(df: DataFrame, ordCol: String, dir: String,
+      groupSize: Int = 5, base: Long = 0): Unit =
+    df.withColumn("grp", expr(s"$ordCol div $groupSize + $base"))
+      .withColumn("slot", expr(s"$ordCol % $groupSize"))
+      .withColumn("new_name",
+        format_string("%d_%d.JPG", col("grp"), col("slot")))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("grp").parquet(dir)
+
+  /** S9: external-process stage (handlehdrgen.py:30-33 `hdrgen`,
+    * lumiadjust.py:14-15 `pcomb`): pipe each partition's rows through a
+    * shell command, one process per partition (the RDD.pipe shape — at
+    * scale this is the reference's 8-thread pool generalized to the
+    * cluster). The hdrgen/pcomb binaries don't exist here; the stage is
+    * exercised with standard tools in the test suite.
+    */
+  def processMap(df: DataFrame, command: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val piped = df.select(col(df.columns.head).cast("string")).as[String]
+      .rdd.pipe(command)
+    piped.toDF("line")
+  }
+
+  /** S7: side-effect writer (annotated-image sink, camera_calib.py:80-82):
+    * foreachPartition with a per-partition "writer" init. The actual
+    * image encode is out of relational scope (no codecs in container);
+    * the writer callback receives (path, payload) pairs.
+    */
+  def foreachSink(df: DataFrame, pathCol: String, payloadCol: String)(
+      write: (String, Array[Byte]) => Unit): Unit =
+    df.select(col(pathCol), col(payloadCol)).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        // real impl: init one encoder/filesystem handle per partition here
+        it.foreach(r => write(r.getString(0), r.getAs[Array[Byte]](1)))
+    }
+}

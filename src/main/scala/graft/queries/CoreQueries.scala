@@ -31,6 +31,14 @@ object CoreQueries {
         .orderBy("file")
     },
 
+    // S3 (plumbing): expression-only binary metadata — length, magic,
+    // content md5 — over a binaryFile scan (Multimodal.binaryMeta; the
+    // decode itself is the documented stub). Rows-only check.
+    QueryDef.noOracle("s3_binary_meta") { (s, d) =>
+      graft.ops.Multimodal.binaryMeta(Sources.binaryScan(s, d))
+        .orderBy("file")
+    },
+
     // S4/X2/P8: KRL text -> first 6 numbers as doubles
     // (pose_filter.py:3141-3143). Round-trips lineitem columns through a
     // formatted LIN line, then parses them back with the production parser.
