@@ -90,7 +90,7 @@ object Similarity {
       .select(col(idCol).as("c_label"),
         transform(col(vecCol), x => round(x.cast("double"), roundTo))
           .as("centroid"))
-    (1 to iters).foldLeft(seeds) { (cents, _) =>
+    val refined = (1 to iters).foldLeft(seeds) { (cents, _) =>
       centroidRanks(embeddings, vecCol, idCol, cents, 1)
         .select(col("c_label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
         .groupBy("c_label", "pos")
@@ -100,6 +100,9 @@ object Similarity {
           array_sort(collect_list(struct(col("pos"), col("cv")))),
           s => s.getField("cv")).as("centroid"))
     }
+    // k rows, but `iters` full passes of lineage behind them: cache so
+    // assign + probe consumers don't re-run Lloyd per branch
+    refined.cache()
   }
 
   /** Rank centroids per vector by squared L2 (rounded for cross-engine
