@@ -1,0 +1,82 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+import graft.ops.Geometry
+
+/** Native Catalyst expression for the 4-point homography solve
+  * (image_cut_warp.py:28-31 / cv2.getPerspectiveTransform; SURVEY.md §4
+  * item 1): `solve_homography(src: array<array<double>>, dst) ->
+  * array<double>[9]` row-major with h22 = 1.
+  *
+  * CodegenFallback is deliberate: the solve runs once per image group
+  * (3,108 in the reference), never per pixel — eval cost is irrelevant,
+  * but as a native expression it avoids UDF SerDe, is null-safe, and is
+  * registrable in the SQL function registry (GraftExtensions).
+  */
+case class SolveHomography(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"solve_homography expects array<array<double>> inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(src: Any, dst: Any): Any = {
+    def pts(a: Any): Seq[(Double, Double)] = {
+      val arr = a.asInstanceOf[ArrayData]
+      (0 until arr.numElements()).map { i =>
+        val p = arr.getArray(i)
+        (p.getDouble(0), p.getDouble(1))
+      }
+    }
+    new GenericArrayData(Geometry.solveHomography(pts(src), pts(dst)))
+  }
+
+  override def prettyName: String = "solve_homography"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SolveHomography =
+    copy(left = newLeft, right = newRight)
+}
+
+/** SQL-surface registration. Two forms:
+  *  - `GraftFunctions.register(spark)` on a live session;
+  *  - `spark.sql.extensions=graft.expr.GraftExtensions` at build time
+  *    (the SparkSessionExtensions injection point).
+  */
+object GraftFunctions {
+  val entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq((
+      FunctionIdentifier("solve_homography"),
+      new ExpressionInfo(classOf[SolveHomography].getName, "solve_homography"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "solve_homography(src_pts, dst_pts) takes exactly 2 arguments")
+        SolveHomography(children(0), children(1))
+      }))
+
+  def register(spark: SparkSession): Unit =
+    entries.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}
+
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.entries.foreach(ext.injectFunction)
+}

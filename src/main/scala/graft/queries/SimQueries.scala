@@ -72,6 +72,40 @@ object SimQueries {
         .orderBy("vec_id")
     },
 
+    // Blocked embedding near-dup: within each blocking key (label), the
+    // closest pair by cosine — the blocked all-pairs shape (block sizes
+    // bounded, shuffle on the block key; never a global crossJoin).
+    QueryDef("em1_blocked_closest_pair",
+      """WITH p AS (
+        |  SELECT a.label AS label, a.vec_id AS va, b.vec_id AS vb,
+        |    round(
+        |      list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+        |      6) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id),
+        |r AS (SELECT label, va, vb, cos,
+        |        row_number() OVER (PARTITION BY label ORDER BY cos DESC, va, vb) AS rk
+        |      FROM p)
+        |SELECT label, va, vb, cos FROM r WHERE rk = 1 ORDER BY label""") { (s, d) =>
+      val emb = T.embeddings(s, d)
+      val a = emb.select(col("label"), col("vec_id").as("va"),
+        col("embedding").as("ea"))
+      val b = emb.select(col("label").as("lb"), col("vec_id").as("vb"),
+        col("embedding").as("eb"))
+      val pairs = a.join(b, col("label") === col("lb") && col("va") < col("vb"))
+        .select(col("label"), col("va"), col("vb"),
+          round(S.cosine(col("ea"), col("eb")), 6).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label"))
+        .orderBy(col("cos").desc, col("va"), col("vb"))
+      pairs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("label", "va", "vb", "cos")
+        .orderBy("label")
+    },
+
     // IVF pruned top-k over k-means cells: probe the 8 nearest of 25
     // cells per query (~32% of candidates scanned), rank only their
     // members. No SQL oracle (rows-only check); recall@10 >= 0.9 vs brute

@@ -151,6 +151,57 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // n-gram Jaccard verification of the LSH candidates: the banded join
+    // proposes pairs, exact shingle-set Jaccard scores them — the full
+    // two-stage near-dup pipeline (candidates << n^2, exact check only
+    // on candidates).
+    QueryDef("t8_jaccard_verify",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(0, len(tk) - 2),
+        |      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shset
+        |  FROM toks WHERE len(tk) >= 3),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 8),
+        |    h -> list_min(list_transform(shset,
+        |      s -> md5(CAST(h AS VARCHAR) || '|' || s)))) AS sg
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, b, md5(sg[2*b+1] || sg[2*b+2]) AS bk
+        |  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.b = b.b
+        |    AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(sa.shset, sb.shset))), 6)
+        |    AS jaccard
+        |FROM cand JOIN sh sa ON sa.doc_id = doc_a
+        |          JOIN sh sb ON sb.doc_id = doc_b
+        |ORDER BY doc_a, doc_b""") { (s, d) =>
+      val docs = T.documents(s, d)
+      val sh = docs
+        .select(col("doc_id"),
+          array_distinct(TX.shingles(TX.tokensLower(col("text")), 3))
+            .as("shset"))
+        .filter(size(col("shset")) > 0)
+      val cand = Dedup.nearDupCandidates(docs, "doc_id", "text")
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("shset").as("sa")),
+          "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("shset").as("sb")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb"))), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // SimHash document fingerprint: one md5 per token, 32 sign bits.
     QueryDef("t7_simhash",
       """WITH toks AS (
