@@ -241,6 +241,31 @@ object GeoQueries {
         .orderBy("i", "j")
     },
 
+    // X7/J5 composite: the reference's full 3,125-pose program — euler^3
+    // cross join x serpentine grid with the odd-rotation reverse walk
+    // (point3d_transformation.py:65-106), golden-matched against
+    // world_coords in the test suite. All values exact multiples of 10/50.
+    QueryDef("g1_pose_grid",
+      """WITH e AS (
+        |  SELECT i, CAST(-20 + i * 10 AS DOUBLE) AS v
+        |  FROM generate_series(0, 4) t(i)),
+        |combos AS (
+        |  SELECT a.i * 25 + b.i * 5 + c.i AS ei, a.v AS a, b.v AS b, c.v AS c
+        |  FROM e a, e b, e c),
+        |grid AS (
+        |  SELECT k,
+        |    CAST((k // 5) - 2 AS DOUBLE) * 50 AS gx,
+        |    CAST((CASE WHEN (k // 5) % 2 = 1 THEN 4 - (k % 5) ELSE k % 5 END) - 2
+        |         AS DOUBLE) * 50 AS gy
+        |  FROM generate_series(0, 24) t(k))
+        |SELECT combos.ei * 25 + kk.k AS pose_idx, a, b, c, gx, gy
+        |FROM combos
+        |CROSS JOIN (SELECT k FROM generate_series(0, 24) t(k)) kk
+        |JOIN grid ON grid.k = CASE WHEN ei % 2 = 0 THEN kk.k ELSE 24 - kk.k END
+        |ORDER BY pose_idx""") { (s, d) =>
+      graft.pipeline.PoseGrid.poses(s).orderBy("pose_idx")
+    },
+
     // X15: luminance scale x0.9 (lumiadjust.py:14, pcomb -s 0.9) over an
     // HDR-pixel-like float array; posexplode (never stringify doubles).
     QueryDef("x15_luminance_scale",
