@@ -65,4 +65,38 @@ object Multimodal {
       col("length"),
       substring(col("content"), 1, 4).cast("string").as("magic"),
       md5(col("content")).as("content_md5"))
+
+  /** Frame sampling for video-like blobs: treat `content` as fixed-size
+    * frames, keep every `everyNth` one — pure expression byte-slicing
+    * (substring on binary), one output row per sampled frame. The frame
+    * decode stays a stub (no codecs here); the partitioning, slicing and
+    * explode shape are the real thing a video pipeline needs.
+    */
+  def sampleFrames(files: DataFrame, frameBytes: Int, everyNth: Int)
+      : DataFrame = {
+    val nFrames = floor(col("length") / frameBytes)
+    val picks = sequence(lit(0), greatest(
+      ceil(nFrames / everyNth).cast("int") - 1, lit(0)))
+    files
+      .filter(col("length") >= frameBytes)
+      .select(col("path"),
+        posexplode(transform(picks, i =>
+          substring(col("content"),
+            (i * everyNth * frameBytes + 1).cast("int"), lit(frameBytes))))
+          .as(Seq("frame_idx", "frame")))
+      .select(col("path"), col("frame_idx"),
+        md5(col("frame")).as("frame_md5"), length(col("frame")).as("n"))
+  }
+
+  /** Resize stage: stub scale math over decoded metadata, real batched
+    * mapPartitions dataflow (cut600.py:30-32's 800->640 analogue).
+    */
+  def resizeMeta(files: DataFrame, targetW: Int): Dataset[MediaMeta] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    decodeMeta(files).map { m =>
+      val scale = targetW.toDouble / m.width
+      m.copy(width = targetW, height = (m.height * scale).toInt)
+    }
+  }
 }
