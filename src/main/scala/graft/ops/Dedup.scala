@@ -34,14 +34,24 @@ object Dedup {
     */
   def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val sig = docs
+    val sh = docs
       .select(col(idCol), TextOps.tokensLower(col(textCol)).as("tk"))
       .filter(size(col("tk")) >= k)
       .select(col(idCol), TextOps.shingles(col("tk"), k).as("shingles"))
-      .select(col(idCol),
-        TextOps.minhashSignature(col("shingles"), numHashes).as("sg"))
+    nearDupCandidatesFromShingles(sh, idCol, "shingles", numHashes, bands)
+  }
+
+  /** Candidate generation from a precomputed shingle column — lets a
+    * two-stage pipeline (candidates -> exact Jaccard) tokenize once.
+    * min(md5) over a multiset equals min over its distinct set, so a
+    * distinct shingle set produces identical candidates.
+    */
+  def nearDupCandidatesFromShingles(sh: DataFrame, idCol: String,
+      shingleCol: String, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = sh.select(col(idCol),
+      TextOps.minhashSignatureFast(col(shingleCol), numHashes).as("sg"))
     val bandRows = sig.select(col(idCol),
       posexplode(TextOps.bandKeys(col("sg"), bands, rowsPerBand))
         .as(Seq("b", "bk")))

@@ -135,13 +135,27 @@ object TextQueries {
         |    list_transform(range(0, len(tk) - 2),
         |      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) AS shingles
         |  FROM toks WHERE len(tk) >= 3),
-        |sig AS (
-        |  SELECT doc_id, list_transform(range(0, 8),
-        |    h -> list_min(list_transform(shingles,
-        |      s -> md5(CAST(h AS VARCHAR) || '|' || s)))) AS sg
+        |bases AS (
+        |  SELECT doc_id, list_transform(list_transform(shingles, s -> md5(s)), h ->
+        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+        |  + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+        |  + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+        |  + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+        |  + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)) AS bs
         |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 8), i ->
+        |    list_min(list_transform(bs, x ->
+        |      ([967079, 825269, 741103, 597269, 447841, 330287, 225961, 121021][i+1] * x
+        |       + [266489, 372893, 449287, 532951, 654803, 713681, 829601, 904441][i+1])
+        |      % 4294967311))) AS sg
+        |  FROM bases),
         |bands AS (
-        |  SELECT doc_id, b, md5(sg[2*b+1] || sg[2*b+2]) AS bk
+        |  SELECT doc_id, b,
+        |    md5(CAST(sg[2*b+1] AS VARCHAR) || CAST(sg[2*b+2] AS VARCHAR)) AS bk
         |  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b))
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM bands a JOIN bands b ON a.bk = b.bk AND a.b = b.b
@@ -165,13 +179,27 @@ object TextQueries {
         |    list_distinct(list_transform(range(0, len(tk) - 2),
         |      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shset
         |  FROM toks WHERE len(tk) >= 3),
-        |sig AS (
-        |  SELECT doc_id, list_transform(range(0, 8),
-        |    h -> list_min(list_transform(shset,
-        |      s -> md5(CAST(h AS VARCHAR) || '|' || s)))) AS sg
+        |bases AS (
+        |  SELECT doc_id, list_transform(list_transform(shset, s -> md5(s)), h ->
+        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+        |  + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+        |  + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+        |  + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+        |  + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)) AS bs
         |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 8), i ->
+        |    list_min(list_transform(bs, x ->
+        |      ([967079, 825269, 741103, 597269, 447841, 330287, 225961, 121021][i+1] * x
+        |       + [266489, 372893, 449287, 532951, 654803, 713681, 829601, 904441][i+1])
+        |      % 4294967311))) AS sg
+        |  FROM bases),
         |bands AS (
-        |  SELECT doc_id, b, md5(sg[2*b+1] || sg[2*b+2]) AS bk
+        |  SELECT doc_id, b,
+        |    md5(CAST(sg[2*b+1] AS VARCHAR) || CAST(sg[2*b+2] AS VARCHAR)) AS bk
         |  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -184,21 +212,36 @@ object TextQueries {
         |FROM cand JOIN sh sa ON sa.doc_id = doc_a
         |          JOIN sh sb ON sb.doc_id = doc_b
         |ORDER BY doc_a, doc_b""") { (s, d) =>
-      val docs = T.documents(s, d)
-      val sh = docs
+      // tokenize/shingle ONCE (cached): the distinct set feeds both the
+      // MinHash candidate generation (min(md5) is multiset-invariant) and
+      // the exact Jaccard scoring. Jaccard itself is the exploded
+      // intersection-count shape — (doc, shingle) rows joined on the
+      // shingle, |A∪B| = |A|+|B|-|A∩B| — so candidate pairs never drag
+      // whole shingle arrays through a shuffle, and the expensive
+      // fingerprint subtree is never duplicated across a self-join.
+      val sh = T.documents(s, d)
         .select(col("doc_id"),
           array_distinct(TX.shingles(TX.tokensLower(col("text")), 3))
             .as("shset"))
         .filter(size(col("shset")) > 0)
-      val cand = Dedup.nearDupCandidates(docs, "doc_id", "text")
-      cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("shset").as("sa")),
+        .cache()
+      val cand = Dedup.nearDupCandidatesFromShingles(sh, "doc_id", "shset")
+      val sizes = sh.select(col("doc_id"), size(col("shset")).as("n"))
+      val expl = sh.select(col("doc_id"), explode(col("shset")).as("s"))
+      val inter = cand
+        .join(expl.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+        .join(expl.select(col("doc_id").as("doc_b"), col("s")),
+          Seq("doc_b", "s"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("ninter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
           "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("shset").as("sb")),
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
           "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
-            size(array_union(col("sa"), col("sb"))), 6).as("jaccard"))
+          round(col("ninter").cast("double") /
+            (col("na") + col("nb") - col("ninter")), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
 

@@ -114,6 +114,28 @@ object WindowQueries {
           .as("first_key"))
     },
 
+    // X4: timestamp difference in whole seconds between consecutive
+    // events per user (point3d_transformation.py:22,41-43: mtime diffs).
+    // Exact integer arithmetic on the µs grid — no float near the
+    // threshold.
+    QueryDef("x4_time_diff",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
+        |d AS (
+        |  SELECT user_id, event_id,
+        |    (tsn - lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id))
+        |      // 1000000000 AS gap_s
+        |  FROM e)
+        |SELECT user_id, event_id, gap_s FROM d WHERE gap_s IS NOT NULL
+        |ORDER BY user_id, event_id""") { (s, d) =>
+      eventsUsGrid(s, d)
+        .withColumn("gap_s",
+          expr("(ts - lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) div 1000000000"))
+        .filter(col("gap_s").isNotNull)
+        .select("user_id", "event_id", "gap_s")
+        .orderBy("user_id", "event_id")
+    },
+
     // W8 (§2.10 batch form): event-time session windows per user with a
     // 600 s gap — Spark session_window vs the lag/cumsum formulation in
     // DuckDB. Two events `gap` apart exactly start a new session in both.

@@ -90,8 +90,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("nearDupCandidates finds a planted near-duplicate pair") {
-    val base = "the quick brown fox jumps over the lazy dog again and again"
-    val nearDup = base.replace("lazy", "sleepy")
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the patient cat watches from the old wooden fence nearby"
+    val nearDup = base + " quietly" // one appended token: ~95% shared shingles
     val noise = (0 until 30).map(i =>
       (100L + i, s"totally different content number $i with words w$i x$i y$i z$i"))
     val docs = (Seq((1L, base), (2L, nearDup)) ++ noise).toDF("doc_id", "text")
