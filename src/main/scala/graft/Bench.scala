@@ -16,6 +16,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up JVM/codegen so the alphabetically-first query doesn't absorb
+    // several seconds of one-time startup in its reported time
+    spark.range(1000).selectExpr("sum(id)").collect()
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
