@@ -46,6 +46,17 @@ object Sinks {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("grp").parquet(dir)
 
+  /** Bucketed table write: co-locates join/agg keys at write time so
+    * later equi-joins between tables bucketed on the same key by the
+    * same count need NO shuffle at all (asserted on the physical plan in
+    * the test suite) — the 100-TB answer for repeated joins on pose_id.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** S9: external-process stage (handlehdrgen.py:30-33 `hdrgen`,
     * lumiadjust.py:14-15 `pcomb`): pipe each partition's rows through a
     * shell command, one process per partition (the RDD.pipe shape — at

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Sinks, Skew, Tables}
+
+/** Physical-plan regression guards: the properties that make these
+  * queries survive a 100x scale-up must stay in the plan, not just in
+  * the scaladoc.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+
+  test("p3: magnitude filter is pushed to the parquet scan") {
+    val p = plan("p3_magnitude_filter")
+    assert(p.contains("PushedFilters") && p.contains("l_extendedprice"),
+      s"filter not pushed:\n${p.take(800)}")
+  }
+
+  test("j1: small dimension side is broadcast") {
+    assert(plan("j1_equi_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("w3: top-k is TakeOrderedAndProject, not a global sort") {
+    assert(plan("w3_topk_worst").contains("TakeOrderedAndProject"))
+  }
+
+  test("t4: exact dedup partial-aggregates map-side before the shuffle") {
+    val p = plan("t4_exact_dedup")
+    val aggIdx = p.indexOf("HashAggregate")
+    val exIdx = p.indexOf("Exchange hashpartitioning(content_hash")
+    assert(aggIdx >= 0 && exIdx >= 0)
+    // a partial HashAggregate must appear BELOW (after, in tree print) the
+    // hash exchange — i.e. there are aggregates on both sides of it
+    assert(p.lastIndexOf("HashAggregate") > exIdx, "no map-side partial agg")
+  }
+
+  test("P9: a cheap predicate is pushed below an expensive projection") {
+    val df = Tables.lineitem(spark, sf("sf0.001"))
+      .withColumn("expensive", md5(concat_ws("|",
+        col("l_orderkey"), col("l_extendedprice"))))
+      .filter(col("l_orderkey") < 10)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("l_orderkey"),
+      s"cheap filter not pushed below projection:\n${p.take(800)}")
+  }
+
+  test("salted join and salted aggregation match their plain forms") {
+    import spark.implicits._
+    // skewed fact: 90% of rows share key 1
+    val fact = ((1 to 900).map(i => (1L, i.toLong)) ++
+      (1 to 100).map(i => ((i % 7 + 2).toLong, i.toLong)))
+      .toDF("k", "v")
+    val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c"), (5L, "d"),
+      (6L, "e"), (7L, "f"), (8L, "g")).toDF("k", "name")
+    val plainJoin = fact.join(dim, "k").select("k", "v", "name")
+    val salted = Skew.saltedJoin(fact, dim, "k", "v", 8)
+      .select("k", "v", "name")
+    assert(salted.exceptAll(plainJoin).isEmpty &&
+      plainJoin.exceptAll(salted).isEmpty)
+
+    val plainAgg = fact.groupBy("k").agg(sum("v").as("sum_v"))
+    val saltedAgg = Skew.saltedSum(fact, "k", "v", "v", 8)
+    assert(saltedAgg.exceptAll(plainAgg).isEmpty &&
+      plainAgg.exceptAll(saltedAgg).isEmpty)
+  }
+
+  test("bucketed tables join without any shuffle exchange") {
+    import spark.implicits._
+    val left = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "a")
+    val right = (1L to 1000L).map(i => (i, i * 3)).toDF("k", "b")
+    Sinks.writeBucketed(left, "graft_bucket_l", "k", 4)
+    Sinks.writeBucketed(right, "graft_bucket_r", "k", 4)
+    val joined = spark.sql(
+      """SELECT /*+ MERGE(l) */ l.k, a, b
+        |FROM graft_bucket_l l JOIN graft_bucket_r r ON l.k = r.k""".stripMargin)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"bucketed join still shuffles:\n${p.take(1200)}")
+    assert(joined.count() == 1000)
+  }
+}
