@@ -52,6 +52,18 @@ object Aggs {
         sort_array(collect_list(col(valCol).cast("string"))), ",")
         .as("collected"))
 
+  /** A6 at 100 TB: exact count + approx_count_distinct (HLL++, rsd
+    * relative error) — exact countDistinct is a full shuffle of the
+    * distinct values; the sketch is a fixed-size map-side accumulator.
+    * Not oracle-checked (approximation is engine-specific); tolerance is
+    * pinned in the test suite.
+    */
+  def approxCounts(df: DataFrame, cols: Seq[String], rsd: Double = 0.02)
+      : DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      cols.map(c => approx_count_distinct(col(c), rsd).as(s"approx_$c")): _*)
+
   /** Per-axis min/max/mean (calculate.py:36-52): one output row per named
     * axis column, unioned. Rounded to `r`.
     */

@@ -222,4 +222,34 @@ class AggsSpec extends SparkSpec {
     assert(r.getDouble(0) == 6.0) // mean of {2, 10}
     assert(r.getLong(2) == 2L)
   }
+
+  test("approxCounts stays within the configured relative error") {
+    val ev = Tables.events(spark, sf("sf0.01"))
+    val r = Aggs.approxCounts(ev, Seq("user_id", "event_type")).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 10000L)
+    val users = r.getAs[Long]("approx_user_id")
+    assert(math.abs(users - 150L) <= 150 * 0.05, s"approx users $users")
+    val types = r.getAs[Long]("approx_event_type")
+    assert(types >= 1 && math.abs(types - 4) <= 2, s"approx types $types")
+  }
+}
+
+class SideEffectSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("foreachSink delivers (path, payload) pairs to the writer (S7)") {
+    // the writer callback runs on executors; observe through the shared
+    // local filesystem (local mode)
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft-s7").toString
+    val df = Seq(("a.jpg", Array[Byte](1, 2)), ("b.jpg", Array[Byte](3)))
+      .toDF("path", "content")
+    graft.ops.Sinks.foreachSink(df, "path", "content") { (p, bytes) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(outDir, p), bytes)
+      ()
+    }
+    val written = new java.io.File(outDir).listFiles.map(f =>
+      f.getName -> f.length).toMap
+    assert(written == Map("a.jpg" -> 2L, "b.jpg" -> 1L), s"got $written")
+  }
 }

@@ -47,6 +47,44 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("binaryFile directory stream feeds group assembly end-to-end") {
+    // the reference's actual ingestion: a camera drops {pose}_{slot}.JPG
+    // files into a directory over time (SURVEY §2.10 source side)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest")
+    def drop(pose: String, slot: Int): Unit =
+      java.nio.file.Files.write(dir.resolve(s"${pose}_$slot.JPG"),
+        s"fake-jpeg-$pose-$slot".getBytes)
+    (0 until 5).foreach(drop("0", _))
+    (0 until 2).foreach(drop("1", _))
+
+    val files = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir.toString)
+    val events = files.select(
+      regexp_extract(col("path"), "([^/]+)_([0-9]+)\\.JPG$", 1).as("poseId"),
+      regexp_extract(col("path"), "([^/]+)_([0-9]+)\\.JPG$", 2)
+        .cast("int").as("slot"),
+      col("path"), col("modificationTime").as("ts"))
+      .as[FileEvent]
+    val q = Sessionize.completeGroups(events).writeStream
+      .format("memory").queryName("ingest")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      val groups = spark.table("ingest").as[Sessionize.PoseGroup].collect()
+      val full = groups.filter(_.poseId == "0")
+      assert(full.length == 1 && full.head.complete && full.head.n == 5,
+        s"expected pose 0 complete, got ${groups.mkString(";")}")
+      assert(full.head.paths.map(_.split('/').last).sorted ==
+        (0 until 5).map(s => s"0_$s.JPG"))
+      // pose 1 (2 files) must still be held in state, not emitted
+      assert(!groups.exists(_.poseId == "1"))
+    } finally q.stop()
+  }
+
   test("sessionGaps (batch form) splits on gaps over the threshold") {
     import spark.implicits._
     val df = Seq(
