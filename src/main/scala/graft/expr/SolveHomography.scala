@@ -61,14 +61,23 @@ case class SolveHomography(left: Expression, right: Expression)
   */
 object GraftFunctions {
   val entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((
-      FunctionIdentifier("solve_homography"),
-      new ExpressionInfo(classOf[SolveHomography].getName, "solve_homography"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2,
-          "solve_homography(src_pts, dst_pts) takes exactly 2 arguments")
-        SolveHomography(children(0), children(1))
-      }))
+    Seq(
+      (
+        FunctionIdentifier("solve_homography"),
+        new ExpressionInfo(classOf[SolveHomography].getName, "solve_homography"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            "solve_homography(src_pts, dst_pts) takes exactly 2 arguments")
+          SolveHomography(children(0), children(1))
+        }),
+      (
+        FunctionIdentifier("dot_f32"),
+        new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            "dot_f32(a, b) takes exactly 2 arguments")
+          DotF32(children(0), children(1))
+        }))
 
   def register(spark: SparkSession): Unit =
     entries.foreach { case (id, info, builder) =>

@@ -12,18 +12,32 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Left-to-right double dot product of two float-array columns. */
+  /** Left-to-right double dot product of two float-array columns —
+    * higher-order-function fold (works anywhere, no registration).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (s, p) => s + p)
 
+  /** Codegen'd form of `dot` (graft.expr.DotF32) — bit-identical values,
+    * but a primitive loop inside whole-stage codegen instead of
+    * interpreted HOF ArrayData churn. Requires GraftFunctions.register
+    * (done by the search entry points below).
+    */
+  def dotFast(a: Column, b: Column): Column =
+    call_function("dot_f32", a, b)
+
   /** L2 norm of a float-array column. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity. */
+  /** Cosine similarity (HOF form). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Cosine via the codegen'd dot — same bits, hot-path speed. */
+  def cosineFast(a: Column, b: Column): Column =
+    dotFast(a, b) / (sqrt(dotFast(a, a)) * sqrt(dotFast(b, b)))
 
   /** Squared L2 distance between a float-array column and a double-array
     * column (centroid), left-to-right.
@@ -46,8 +60,9 @@ object Similarity {
       queries: DataFrame, candidates: DataFrame, k: Int,
       qId: String = "q_id", cId: String = "c_id",
       qVec: String = "q_vec", cVec: String = "c_vec"): DataFrame = {
+    graft.expr.GraftFunctions.register(candidates.sparkSession)
     val joined = candidates.crossJoin(broadcast(queries))
-      .withColumn("sim", round(cosine(col(qVec), col(cVec)), 6))
+      .withColumn("sim", round(cosineFast(col(qVec), col(cVec)), 6))
     val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId))
     joined
       .withColumn("rank", row_number().over(w))
@@ -140,12 +155,13 @@ object Similarity {
       k: Int, nProbe: Int = 2,
       qId: String = "q_id", cId: String = "c_id",
       qVec: String = "q_vec", cVec: String = "c_vec"): DataFrame = {
+    graft.expr.GraftFunctions.register(candidates.sparkSession)
     val cand = centroidRanks(candidates, cVec, cId, cents, 1)
       .select(col(cId), col(cVec), col("c_label"))
     val qry = centroidRanks(queries, qVec, qId, cents, nProbe)
       .select(col(qId), col(qVec), col("c_label"))
     val joined = qry.join(cand, "c_label")
-      .withColumn("sim", round(cosine(col(qVec), col(cVec)), 6))
+      .withColumn("sim", round(cosineFast(col(qVec), col(cVec)), 6))
     val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId))
     joined
       .withColumn("rank", row_number().over(w))

@@ -90,7 +90,9 @@ object SimQueries {
         |      FROM p)
         |SELECT label, va, vb, cos FROM r WHERE rk = 1 ORDER BY label""") { (s, d) =>
       // norms once per row BEFORE the pair join: 1 fold per pair instead
-      // of 3 (dot + two norms) — same bits, third of the work
+      // of 3 (dot + two norms) — same bits, third of the work; the
+      // per-pair dot is the codegen'd primitive loop
+      graft.expr.GraftFunctions.register(s)
       val emb = T.embeddings(s, d).select(col("label"), col("vec_id"),
         col("embedding"), S.l2norm(col("embedding")).as("nrm"))
       val a = emb.select(col("label"), col("vec_id").as("va"),
@@ -99,7 +101,7 @@ object SimQueries {
         col("embedding").as("eb"), col("nrm").as("nb"))
       val pairs = a.join(b, col("label") === col("lb") && col("va") < col("vb"))
         .select(col("label"), col("va"), col("vb"),
-          round(S.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+          round(S.dotFast(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
             .as("cos"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("label"))

@@ -27,6 +27,26 @@ class ExprSpec extends SparkSpec {
     assert(got.last == 1.0)
   }
 
+  test("dot_f32 codegen loop matches the HOF fold bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val emb = graft.ops.Tables.embeddings(spark, sf("sf0.01"))
+      .limit(50).select(col("embedding").as("a"))
+    val paired = emb.crossJoin(emb.select(col("a").as("b")))
+    val diffs = paired.select(
+      (graft.ops.Similarity.dot(col("a"), col("b")) -
+        graft.ops.Similarity.dotFast(col("a"), col("b"))).as("d"))
+      .agg(max(abs(col("d")))).collect()(0).getDouble(0)
+    assert(diffs == 0.0, s"codegen dot deviates by $diffs")
+    // and it participates in whole-stage codegen
+    val cg = paired.select(
+      graft.ops.Similarity.dotFast(col("a"), col("b")).as("s"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen"), cg.take(500))
+  }
+
   test("solve_homography null input yields null, wrong arity is an error") {
     GraftFunctions.register(spark)
     val r = spark.sql(
