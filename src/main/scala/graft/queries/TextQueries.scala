@@ -227,7 +227,12 @@ object TextQueries {
         .cache()
       val cand = Dedup.nearDupCandidatesFromShingles(sh, "doc_id", "shset")
       val sizes = sh.select(col("doc_id"), size(col("shset")).as("n"))
-      val expl = sh.select(col("doc_id"), explode(col("shset")).as("s"))
+      // only candidate docs' shingles enter the intersection shuffle —
+      // a semi-join prune before the explode (candidate docs << corpus)
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val expl = sh.join(candDocs, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), explode(col("shset")).as("s"))
       val inter = cand
         .join(expl.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
         .join(expl.select(col("doc_id").as("doc_b"), col("s")),
