@@ -239,6 +239,24 @@ object CoreQueries {
         .orderBy("o_orderkey")
     },
 
+    // X (JSON surface): id -> record serialization — the reference's
+    // commented json.dump of {pose_id: pose} (pose_filter.py:9-13,
+    // 3148-3152). Integer/string payload only: float JSON formatting
+    // differs across engines.
+    QueryDef("x16_to_json",
+      """SELECT s_suppkey,
+        |  to_json(struct_pack(id := s_suppkey, name := s_name,
+        |                      nation := CAST(s_nationkey AS BIGINT)))
+        |    AS doc
+        |FROM supplier ORDER BY s_suppkey""") { (s, d) =>
+      T.supplier(s, d)
+        .select(col("s_suppkey"),
+          to_json(struct(
+            col("s_suppkey").as("id"), col("s_name").as("name"),
+            col("s_nationkey").cast("bigint").as("nation"))).as("doc"))
+        .orderBy("s_suppkey")
+    },
+
     // SO1: key-set intersection (extrinsic_calibration.py:349-351).
     QueryDef("so1_intersect",
       """SELECT c_nationkey AS nationkey FROM customer
