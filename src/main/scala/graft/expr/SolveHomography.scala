@@ -77,6 +77,22 @@ object GraftFunctions {
           require(children.length == 2,
             "dot_f32(a, b) takes exactly 2 arguments")
           DotF32(children(0), children(1))
+        }),
+      (
+        FunctionIdentifier("word_shingles"),
+        new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            "word_shingles(tokens, k) takes exactly 2 arguments")
+          WordShingles(children(0), children(1))
+        }),
+      (
+        FunctionIdentifier("minhash_sig"),
+        new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            "minhash_sig(shingles, k) takes exactly 2 arguments")
+          MinHashSig(children(0), children(1))
         }))
 
   def register(spark: SparkSession): Unit =

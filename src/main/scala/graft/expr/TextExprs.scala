@@ -1,0 +1,159 @@
+package graft.expr
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd word-k-shingle expression: `word_shingles(tokens, k)` →
+  * array<string> of the k-token windows joined by single spaces —
+  * value-identical to the guarded higher-order-function form in
+  * `TextOps.shinglesHof` (fewer than k tokens → empty array), but one
+  * compiled loop per row instead of O(n·k) interpreted `element_at` +
+  * `concat_ws` lambda evaluations. This is the near-dup pipeline's
+  * per-row constant cost at 100 TB (reference shingling surface:
+  * the MinHash/Jaccard dedup family, SURVEY.md "LLM-data-pipeline
+  * operators").
+  */
+case class WordShingles(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects (array<string>, int), got ${l.sql} and ${r.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(toks: Any, kAny: Any): Any =
+    WordShingles.compute(toks.asInstanceOf[ArrayData], kAny.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (toks, k) => {
+      s"${ev.value} = graft.expr.WordShingles.compute($toks, $k);"
+    })
+
+  override def prettyName: String = "word_shingles"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordShingles =
+    copy(left = newLeft, right = newRight)
+}
+
+object WordShingles {
+  private val Space = UTF8String.fromString(" ")
+
+  /** n tokens → max(0, n-k+1) shingles; null tokens are skipped inside a
+    * window (concat_ws semantics, matching the HOF form).
+    */
+  def compute(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i < n - k + 1) {
+      val window = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) {
+        window(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(Space, window: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Codegen'd k-permutation MinHash signature:
+  * `minhash_sig(shingles, k)` → array<bigint>, value-identical to
+  * `TextOps.minhashSignatureHof` — base = first 8 md5 hex digits of each
+  * shingle as an unsigned 32-bit integer, then k universal-hash
+  * permutations h_i(x) = (A_i·x + B_i) mod 4294967311, min per i.
+  *
+  * The HOF form runs O(k·n) interpreted lambda calls plus one full md5
+  * hex-string round trip per shingle; this is one compiled pass: md5 once
+  * per shingle (first 4 digest bytes, no hex detour), all k mins updated
+  * in a primitive loop. Same asymptotics, ~two orders of magnitude lower
+  * per-row constant — the fix for the near-dup fingerprint hot path.
+  */
+case class MinHashSig(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects (array<string>, int), got ${l.sql} and ${r.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def nullSafeEval(shingles: Any, kAny: Any): Any =
+    MinHashSig.compute(shingles.asInstanceOf[ArrayData], kAny.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sh, k) => {
+      s"${ev.value} = graft.expr.MinHashSig.compute($sh, $k);"
+    })
+
+  override def prettyName: String = "minhash_sig"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSig =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinHashSig {
+  /** Permutation constants — large odd multipliers so the k permutations
+    * decorrelate (small multipliers nearly preserve the ordering of x, the
+    * mins correlate, and band collisions inflate ~5x). Shared with the
+    * HOF form and the DuckDB oracle SQL.
+    */
+  val A: Array[Long] = Array(967079L, 825269L, 741103L, 597269L,
+    447841L, 330287L, 225961L, 121021L)
+  val B: Array[Long] = Array(266489L, 372893L, 449287L, 532951L,
+    654803L, 713681L, 829601L, 904441L)
+  val P: Long = 4294967311L
+
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** min_i over shingles of (A_i·base + B_i) mod P, base = first 4 md5
+    * bytes big-endian unsigned (== conv(substring(md5(s),1,8),16,10)).
+    * Null shingles are skipped (array_min semantics); an all-null/empty
+    * input yields k null values, as array_min over nothing would.
+    */
+  def compute(shingles: ArrayData, k: Int): ArrayData = {
+    require(k <= A.length, s"at most ${A.length} permutations")
+    val md = mdLocal.get()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var any = false
+    val n = shingles.numElements()
+    var j = 0
+    while (j < n) {
+      if (!shingles.isNullAt(j)) {
+        md.reset()
+        val d = md.digest(shingles.getUTF8String(j).getBytes)
+        val x = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        var i = 0
+        while (i < k) {
+          val h = (A(i) * x + B(i)) % P
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+        any = true
+      }
+      j += 1
+    }
+    if (!any) new GenericArrayData(new Array[Any](k))
+    else new GenericArrayData(mins)
+  }
+}

@@ -34,10 +34,11 @@ object Dedup {
     */
   def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    graft.expr.GraftFunctions.register(docs.sparkSession)
     val sh = docs
       .select(col(idCol), TextOps.tokensLower(col(textCol)).as("tk"))
       .filter(size(col("tk")) >= k)
-      .select(col(idCol), TextOps.shingles(col("tk"), k).as("shingles"))
+      .select(col(idCol), TextOps.shinglesFast(col("tk"), k).as("shingles"))
     nearDupCandidatesFromShingles(sh, idCol, "shingles", numHashes, bands)
   }
 
@@ -49,6 +50,7 @@ object Dedup {
   def nearDupCandidatesFromShingles(sh: DataFrame, idCol: String,
       shingleCol: String, numHashes: Int = 8, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.expr.GraftFunctions.register(sh.sparkSession)
     val rowsPerBand = numHashes / bands
     val sig = sh.select(col(idCol),
       TextOps.minhashSignatureFast(col(shingleCol), numHashes).as("sg"))

@@ -43,6 +43,10 @@ object TextOps {
     * than k tokens yields an empty array (an unguarded descending
     * `sequence` would silently read tokens from the END via negative
     * element_at indices — garbage fingerprints, not an error).
+    *
+    * Higher-order-function reference form; prefer `shinglesFast` on hot
+    * paths (value-identical, compiled loop — HOFs don't participate in
+    * whole-stage codegen and pay interpreted lambda dispatch per token).
     */
   def shingles(toks: Column, k: Int): Column =
     when(size(toks) >= k,
@@ -50,6 +54,13 @@ object TextOps {
         sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
       .otherwise(array())
+
+  /** Codegen'd `shingles` (graft.expr.WordShingles) — same values, one
+    * compiled loop per row. Requires GraftFunctions.register on the
+    * session (query entry points do this).
+    */
+  def shinglesFast(toks: Column, k: Int): Column =
+    call_function("word_shingles", toks, lit(k))
 
   /** Character n-grams of a string (positions 1..len-n+1); empty array
     * when the text is shorter than n (same guard rationale as shingles).
@@ -79,34 +90,39 @@ object TextOps {
   def shingleBase(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
-  /** Fixed multipliers/offsets for the universal-hash permutations —
-    * large odd constants so the k permutations decorrelate (small
-    * multipliers like 2i+1 nearly preserve the ordering of x, the mins
-    * correlate, and band collisions inflate ~5x: 3,765 vs 706 candidate
-    * pairs on the sf0.1 corpus).
-    */
-  private val MinhashA = Seq(967079L, 825269L, 741103L, 597269L,
-    447841L, 330287L, 225961L, 121021L)
-  private val MinhashB = Seq(266489L, 372893L, 449287L, 532951L,
-    654803L, 713681L, 829601L, 904441L)
-
   /** k-permutation MinHash signature as array<bigint>: ONE md5 per
     * shingle, then k cheap universal-hash permutations
-    * h_i(x) = (A_i x + B_i) mod 4294967311 over the 32-bit bases.
+    * h_i(x) = (A_i x + B_i) mod 4294967311 over the 32-bit bases
+    * (constants in graft.expr.MinHashSig — large odd multipliers so the
+    * permutations decorrelate; small ones nearly preserve the ordering of
+    * x, the mins correlate, and band collisions inflate ~5x).
     * At 100 TB this is the shape that matters: hashing cost is 1/k of
     * the per-seed form with comparable banding behavior, and every
     * operation is exact integer arithmetic an oracle can replay.
+    *
+    * Higher-order-function reference form, kept as the parity oracle for
+    * the codegen'd `minhashSignatureFast`.
     */
-  def minhashSignatureFast(shingleArr: Column, k: Int): Column = {
-    require(k <= MinhashA.length, s"at most ${MinhashA.length} permutations")
+  def minhashSignatureHof(shingleArr: Column, k: Int): Column = {
+    require(k <= graft.expr.MinHashSig.A.length,
+      s"at most ${graft.expr.MinHashSig.A.length} permutations")
     val bases = transform(shingleArr, s => shingleBase(s))
-    val as = array(MinhashA.map(lit): _*)
-    val bs = array(MinhashB.map(lit): _*)
+    val as = array(graft.expr.MinHashSig.A.toSeq.map(lit): _*)
+    val bs = array(graft.expr.MinHashSig.B.toSeq.map(lit): _*)
     transform(sequence(lit(0), lit(k - 1)), i =>
       array_min(transform(bases,
         x => (element_at(as, i + 1) * x + element_at(bs, i + 1))
-          % 4294967311L)))
+          % graft.expr.MinHashSig.P)))
   }
+
+  /** Codegen'd MinHash signature (graft.expr.MinHashSig) — value-identical
+    * to `minhashSignatureHof` but md5 runs once per shingle on raw digest
+    * bytes and all k mins update in one compiled loop: the per-row
+    * constant that makes near-dup viable at corpus scale. Requires
+    * GraftFunctions.register on the session.
+    */
+  def minhashSignatureFast(shingleArr: Column, k: Int): Column =
+    call_function("minhash_sig", shingleArr, lit(k))
 
   /** LSH band key b (bands of `rowsPerBand` signature values): the banded
     * hash that buckets near-duplicate candidates — groupBy(band) join, never

@@ -50,15 +50,26 @@ object TextQueries {
         |      FROM documents)
         |WHERE len(tk) > 0 AND length(text) > 0
         |ORDER BY doc_id""") { (s, d) =>
+      // bind tk ONCE per row: CollapseProject would otherwise inline the
+      // split+filter tokenizer into the size filter and every ratio column
+      // (5 evaluations/row). A single-element transform makes tk a lambda
+      // variable — evaluated once, referenced many times — with no
+      // exchange/cache needed to break the collapse.
+      val ratios = element_at(
+        transform(array(TX.tokensLower(col("text"))), tk => struct(
+          round(TX.stopwordHits(tk, stopEn).cast("double") /
+            size(tk), 6).as("stopword_ratio"),
+          round(TX.totalTokenLen(tk).cast("double") /
+            size(tk), 6).as("mean_tok_len"))),
+        1)
       T.documents(s, d)
-        .select(col("doc_id"), col("text"),
-          TX.tokensLower(col("text")).as("tk"))
-        .filter(size(col("tk")) > 0 && length(col("text")) > 0)
+        // len(tk) > 0 (oracle form) == text has a non-whitespace char —
+        // the cheap equivalent keeps the tokenizer out of the predicate
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("text"), ratios.as("r"))
         .select(col("doc_id"),
-          round(TX.stopwordHits(col("tk"), stopEn).cast("double") /
-            size(col("tk")), 6).as("stopword_ratio"),
-          round(TX.totalTokenLen(col("tk")).cast("double") /
-            size(col("tk")), 6).as("mean_tok_len"),
+          col("r.stopword_ratio"),
+          col("r.mean_tok_len"),
           round(TX.punctCount(col("text")).cast("double") /
             length(col("text")), 6).as("punct_ratio"))
         .orderBy("doc_id")
@@ -219,9 +230,10 @@ object TextQueries {
       // shingle, |A∪B| = |A|+|B|-|A∩B| — so candidate pairs never drag
       // whole shingle arrays through a shuffle, and the expensive
       // fingerprint subtree is never duplicated across a self-join.
+      graft.expr.GraftFunctions.register(s)
       val sh = T.documents(s, d)
         .select(col("doc_id"),
-          array_distinct(TX.shingles(TX.tokensLower(col("text")), 3))
+          array_distinct(TX.shinglesFast(TX.tokensLower(col("text")), 3))
             .as("shset"))
         .filter(size(col("shset")) > 0)
         .cache()

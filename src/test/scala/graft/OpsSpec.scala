@@ -200,6 +200,43 @@ class TextOpsSpec extends SparkSpec {
     val sigs = df.as[Seq[String]].collect()
     assert(sigs(0) == sigs(1) && sigs(0).length == 8)
   }
+
+  test("codegen'd word_shingles matches the HOF form (incl. guard)") {
+    graft.expr.GraftFunctions.register(spark)
+    val texts = Seq("one two", "one two three four",
+      "the quick brown fox jumps over the lazy dog", "", "solo")
+    val df = texts.toDF("text")
+      .select(
+        TextOps.shingles(TextOps.tokensLower(col("text")), 3).as("hof"),
+        TextOps.shinglesFast(TextOps.tokensLower(col("text")), 3).as("fast"))
+    df.as[(Seq[String], Seq[String])].collect().foreach { case (h, f) =>
+      assert(h == f, s"shingle mismatch: $h vs $f")
+    }
+  }
+
+  test("codegen'd minhash_sig matches the HOF form value-for-value") {
+    graft.expr.GraftFunctions.register(spark)
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "a b c d e f g h i j k l m n o p",
+      "hello world hello world hello world")
+    val df = texts.toDF("text")
+      .select(TextOps.shinglesFast(TextOps.tokensLower(col("text")), 3).as("sh"))
+      .select(
+        TextOps.minhashSignatureHof(col("sh"), 8).as("hof"),
+        TextOps.minhashSignatureFast(col("sh"), 8).as("fast"))
+    df.as[(Seq[Long], Seq[Long])].collect().foreach { case (h, f) =>
+      assert(h == f, s"signature mismatch: $h vs $f")
+    }
+  }
+
+  test("minhash_sig of an empty shingle array yields k nulls (array_min parity)") {
+    graft.expr.GraftFunctions.register(spark)
+    val row = Seq(Seq.empty[String]).toDF("sh")
+      .select(TextOps.minhashSignatureFast(col("sh"), 4).as("sig"))
+      .collect()(0).getSeq[Any](0)
+    assert(row == Seq(null, null, null, null))
+  }
 }
 
 class AggsSpec extends SparkSpec {
