@@ -23,10 +23,12 @@ object BenchOne {
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name; have ${SparkEntry.queries.keys.toSeq.sorted}"))
-      val df = fn(spark, sfDir)
-      if (explain) df.explain("formatted")
+      if (explain) fn(spark, sfDir).explain("formatted")
+      // time construction + execution, like graft.Bench: query functions
+      // may do eager driver-side work (e.g. collecting tiny centroid
+      // tables) that belongs in the reported time
       val t0 = System.nanoTime()
-      val n = df.count()
+      val n = fn(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench-one] $name%-28s $sec%8.2f s  ($n rows)")
     }

@@ -121,22 +121,38 @@ object Similarity {
   }
 
   /** Rank centroids per vector by squared L2 (rounded for cross-engine
-    * tie stability, then centroid label as tiebreak). Centroid table is
-    * tiny (one row per cell) → broadcast, so this is a map-side pass over
-    * the embeddings — the 100-TB-safe shape.
-    * Output: input columns + (c_label, rk).
+    * tie stability, then centroid label as tiebreak). The centroid table
+    * is tiny (one row per cell), so it is collected (≤ cells rows, the
+    * one driver-side collect this module allows itself) into a literal
+    * array and the per-row top-maxRank runs as a pure expression:
+    * transform → array_sort on (d2, c_label) structs → slice →
+    * posexplode. No crossJoin row blow-up, no window, no Exchange —
+    * at 100 TB the old window form shuffled cells× the embedding table
+    * to rank against a handful of rows.
+    * Output: input columns + (d2, c_label, rk), decisions identical to
+    * the window form (same rounding, same tiebreak).
     */
   def centroidRanks(vectors: DataFrame, vecCol: String, idCol: String,
       cents: DataFrame, maxRank: Int): DataFrame = {
-    val labelled = cents.select(col(cents.columns.head).as("c_label"),
-      col("centroid"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("d2"), col("c_label"))
-    vectors.crossJoin(broadcast(labelled))
-      .withColumn("d2", round(l2sq(col(vecCol), col("centroid")), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= maxRank)
-      .drop("centroid")
+    val rows = cents
+      .select(col(cents.columns.head).as("c_label"), col("centroid"))
+      .collect()
+    val centsLit = array(rows.map { r =>
+      struct(
+        lit(r.get(0)).as("c_label"),
+        array(r.getSeq[Double](1).map(lit(_)): _*).as("centroid"))
+    }.toSeq: _*)
+    val ranked = slice(
+      array_sort(transform(centsLit, c => struct(
+        round(l2sq(col(vecCol), c.getField("centroid")), 6).as("d2"),
+        c.getField("c_label").as("c_label")))),
+      1, maxRank)
+    vectors
+      .select(col("*"), posexplode(ranked).as(Seq("__rk0", "__s")))
+      .withColumn("d2", col("__s.d2"))
+      .withColumn("c_label", col("__s.c_label"))
+      .withColumn("rk", (col("__rk0") + 1).cast("int"))
+      .drop("__rk0", "__s")
   }
 
   /** IVF assignment: nearest centroid per embedding. */

@@ -67,6 +67,32 @@ class PlanSpec extends SparkSpec {
       plainAgg.exceptAll(saltedAgg).isEmpty)
   }
 
+  test("sim2: IVF assignment is map-side — no window, no exchange") {
+    import spark.implicits._
+    val emb = (0L until 40L)
+      .map(i => (i, s"l${i % 4}", Array.tabulate(8)(j => (i + j).toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    val cents = graft.ops.Similarity.centroids(emb, "embedding", "label")
+    val assigned = graft.ops.Similarity
+      .assignToCentroids(emb, "embedding", "vec_id", cents)
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"assignment still windows:\n${p.take(1200)}")
+    assert(!p.contains("Exchange"), s"assignment still shuffles:\n${p.take(1200)}")
+    // decisions identical to the window form: every vector lands on its
+    // true nearest (rounded) centroid
+    val rows = assigned.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cmap = cents.collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    (0L until 40L).foreach { i =>
+      val v = Array.tabulate(8)(j => (i + j).toDouble)
+      val best = cmap.toSeq.map { case (l, c) =>
+        val d2 = v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+        (BigDecimal(d2).setScale(6, BigDecimal.RoundingMode.HALF_UP), l)
+      }.min._2
+      assert(rows(i) == best, s"vec $i assigned ${rows(i)}, expected $best")
+    }
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     import spark.implicits._
     val left = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "a")
