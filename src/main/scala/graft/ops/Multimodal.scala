@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns plus typed metadata (SURVEY.md §2.8; reference
   * decodes with cv2 at pixel_processing.py:15, cut600.py:17).
   *
-  * The actual codec is STUBBED (no image libs in this container): decode
-  * produces a deterministic fake derived from the bytes. Everything
-  * Spark-side — schema, batch iteration via mapPartitions, partition-size
-  * hygiene — is real, so swapping in a real JPEG/RGBE decoder is a drop-in.
+  * Decode is REAL for the reference's formats — JPEG (and PNG/BMP/GIF) via
+  * the JDK's javax.imageio and Radiance-RGBE `.hdr` via a hand-rolled
+  * reader, see [[Codecs]]; unknown or corrupt blobs fall back to the
+  * deterministic stub so a bad file degrades instead of failing the
+  * partition (act_img.py:287-289's try/except-skip).
   */
 object Multimodal {
 
@@ -23,9 +24,10 @@ object Multimodal {
       channels: Int,
       meanLuma: Double)
 
-  /** STUB decoder: deterministic fake dimensions/luminance from the bytes.
-    * A real implementation would parse the JPEG/RGBE header and pixels here;
-    * the dataflow around it (batch shape, schema, laziness) is identical.
+  /** STUB decoder — the fallback for blobs [[Codecs]] can't decode (and a
+    * deterministic stand-in for codecs the JDK lacks, e.g. video):
+    * fake dimensions/luminance derived from the bytes, same schema and
+    * dataflow as the real decoders.
     */
   def decodeStub(path: String, bytes: Array[Byte]): MediaMeta = {
     val n = bytes.length
@@ -51,8 +53,7 @@ object Multimodal {
     files.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { it =>
-        // real impl: init codec once here
-        it.map { case (p, bytes) => decodeStub(p, bytes) }
+        it.map { case (p, bytes) => Codecs.decode(p, bytes) }
       }
   }
 
