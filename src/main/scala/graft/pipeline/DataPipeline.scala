@@ -18,6 +18,31 @@ import graft.ops.Sinks
   */
 object DataPipeline {
 
+  /** Full DAG including the reference's FIRST stage (data_pipeline.py:19-24
+    * `if data.camera_matrix is None: cam_calib(...)`): intrinsics are
+    * COMPUTED from the chessboard corner table via the Zhang composite
+    * (Intrinsic.calibrate), memoized as the `camera_matrix` stage, then fed
+    * to the downstream extrinsic DAG — k/dist are outputs, not inputs.
+    * `calibCorners`: long-form (view_id, corner_idx, u, v, x, y) at detect
+    * scale (camera_calib.py:61-63's 0.5x resize).
+    */
+  def run(spark: SparkSession, pixelCorners: DataFrame,
+      calibCorners: DataFrame, stateDir: String, maxIter: Int)
+      : Map[String, DataFrame] = {
+    val runner = new Runner(spark, stateDir)
+    if (!runner.isMaterialized("camera_matrix")) {
+      val res = Intrinsic.calibrate(calibCorners)
+      Sinks.matrixSink(spark, stateDir, "camera_matrix", Map(
+        "k" -> res.k, "dist" -> res.dist,
+        "mean_error" -> Seq(res.meanReprojError)))
+    }
+    val cam = Sinks.loadTable(spark, stateDir, "camera_matrix")
+    val row = cam.collect()(0)
+    def arr(n: String) = row.getAs[scala.collection.Seq[Double]](n).toSeq
+    run(spark, pixelCorners, stateDir, arr("k"), arr("dist"), maxIter) +
+      ("camera_matrix" -> cam)
+  }
+
   /** Run (or resume) the DAG. `pixelCorners` is the long-form detected
     * corner table (pose_id, corner_idx, u, v); k/dist are the intrinsics.
     * Returns the materialized stage tables by name.

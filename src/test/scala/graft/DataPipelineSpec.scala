@@ -41,6 +41,52 @@ class DataPipelineSpec extends SparkSpec {
       s"resume ($warmSecs s) should skip the optimizer (cold $coldSecs s)")
   }
 
+  test("full DAG computes intrinsics as its first stage (data_pipeline.py:19-24)") {
+    import spark.implicits._
+    import graft.pipeline.{Extrinsic, Intrinsic}
+    val stateDir = Files.createTempDirectory("graft-dag-calib").toString
+    val pix = spark.read
+      .parquet("src/test/resources/fixtures/pixel_corners.parquet")
+    // synthesize the chessboard views from the golden npz poses (see
+    // IntrinsicSpec for the full-precision golden test; here we check the
+    // DAG wiring: k/dist are computed, materialized, and memoized)
+    val goldK = spark.read
+      .parquet("src/test/resources/fixtures/camera.parquet").collect()(0)
+      .getAs[scala.collection.Seq[Double]]("k")
+    val objp = Intrinsic.objectPoints(9, 11, 45.0)
+    val views = Seq(
+      (Seq(0.0964, -0.2723, 0.0787), Seq(-175.0, -201.1, 1745.8)),
+      (Seq(-0.2101, -0.1263, 0.0201), Seq(-190.1, -202.2, 1771.7)),
+      (Seq(-0.1062, -0.0640, 0.0863), Seq(-157.6, -210.2, 1771.1)),
+      (Seq(-0.1629, -0.0579, 0.0065), Seq(-166.6, -186.9, 1767.3)),
+      (Seq(0.2406, -0.2368, 0.0855), Seq(-41.4, -188.7, 1611.7)),
+      (Seq(0.2514, -0.0346, 0.0581), Seq(-62.3, -187.9, 1643.0)))
+    val dist8 = Array(0.0558, 0.5418, -0.0045, -0.0110, 0.0, 0.0, 0.0, -0.2606)
+    val calib = views.zipWithIndex.flatMap { case ((rv, tv), i) =>
+      val r9 = Extrinsic.rodriguesScalar(rv)
+      objp.map { case (ci, xw, yw) =>
+        val (u, v) = Intrinsic.projectCvScalar(
+          goldK(0) * 0.5, goldK(4) * 0.5, goldK(2) * 0.5, goldK(5) * 0.5,
+          dist8, r9, tv.toArray, xw, yw)
+        (f"v$i%02d", ci, u, v, xw, yw)
+      }
+    }.toDF("view_id", "corner_idx", "u", "v", "x", "y")
+
+    val out = DataPipeline.run(spark, pix, calib, stateDir, maxIter = 2)
+    assert(out.contains("camera_matrix"))
+    val cam = out("camera_matrix").collect()(0)
+    val k = cam.getAs[scala.collection.Seq[Double]]("k")
+    assert(math.abs(k(0) - goldK(0)) / goldK(0) < 0.01,
+      s"computed fx ${k(0)} vs golden ${goldK(0)}")
+    assert(out("matched_corners").count() == 3108 * 4)
+    // memoized: second run must not recompute the calibration
+    val t0 = System.nanoTime()
+    val again = DataPipeline.run(spark, pix, calib, stateDir, maxIter = 2)
+    assert((System.nanoTime() - t0) / 1e9 < 10.0, "resume should skip stages")
+    assert(again("camera_matrix").collect()(0)
+      .getAs[scala.collection.Seq[Double]]("k") == k)
+  }
+
   test("sampleFrames slices every-nth fixed-size frame from binary blobs") {
     import spark.implicits._
     val blob = (0 until 100).map(_.toByte).toArray
