@@ -266,6 +266,57 @@ object GeoQueries {
       graft.pipeline.PoseGrid.poses(s).orderBy("pose_idx")
     },
 
+    // S9/HDR: the pure-Spark exposure-weighted merge semantic of the
+    // external hdrgen stage (handlehdrgen.py:30-33; bracket
+    // calculate.py:109). Each orderkey's first 5 lineitems play the 5
+    // bracketed exposures; two normalized "channels" (quantity, discount)
+    // form the pixel array; oracle computes the identical weighted mean in
+    // exploded long form. Aggregation-order-sensitive sums => round 6.
+    QueryDef("x17_hdr_merge",
+      """WITH ranked AS (
+        |  SELECT l_orderkey,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_partkey, l_suppkey) AS slot,
+        |    l_quantity / 50.0 AS z0, l_discount * 10.0 AS z1
+        |  FROM lineitem),
+        |five AS (SELECT * FROM ranked WHERE slot <= 5),
+        |full5 AS (
+        |  SELECT l_orderkey FROM five GROUP BY 1 HAVING count(*) >= 5),
+        |expo AS (
+        |  SELECT f.l_orderkey, slot,
+        |    CASE slot WHEN 1 THEN 1.0/200 WHEN 2 THEN 1.0/800
+        |              WHEN 3 THEN 1.0/400 WHEN 4 THEN 1.0/100
+        |              ELSE 1.0/50 END AS t,
+        |    z0, z1
+        |  FROM five f JOIN full5 USING (l_orderkey)),
+        |chan AS (
+        |  SELECT l_orderkey, 0 AS channel, z0 AS z, t FROM expo
+        |  UNION ALL
+        |  SELECT l_orderkey, 1 AS channel, z1 AS z, t FROM expo)
+        |SELECT l_orderkey, channel,
+        |  round(sum(greatest(0.001, 1 - abs(2*z - 1)) * z / t)
+        |      / sum(greatest(0.001, 1 - abs(2*z - 1))), 6) AS radiance
+        |FROM chan GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val bracket = array(graft.ops.Hdr.ExposureBracket.map(lit): _*)
+      val five = T.lineitem(s, d)
+        // l_linenumber alone is NOT unique per orderkey in the synthetic
+        // data — partkey/suppkey break the tie for a total slot order
+        .withColumn("slot", row_number().over(
+          Window.partitionBy("l_orderkey")
+            .orderBy("l_linenumber", "l_partkey", "l_suppkey")))
+        .filter(col("slot") <= 5)
+        .withColumn("t", element_at(bracket, col("slot")))
+        .withColumn("px", array(col("l_quantity") / 50.0,
+          col("l_discount") * 10.0))
+      graft.ops.Hdr.mergeGroups(five, "l_orderkey", "slot", "t", "px")
+        .select(col("l_orderkey"),
+          posexplode(col("radiance")).as(Seq("channel", "radiance")))
+        .select(col("l_orderkey"), col("channel"),
+          round(col("radiance"), 6).as("radiance"))
+        .orderBy("l_orderkey", "channel")
+    },
+
     // X15: luminance scale x0.9 (lumiadjust.py:14, pcomb -s 0.9) over an
     // HDR-pixel-like float array; posexplode (never stringify doubles).
     QueryDef("x15_luminance_scale",
