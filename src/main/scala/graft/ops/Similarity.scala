@@ -70,6 +70,69 @@ object Similarity {
       .select(col(qId), col("rank"), col(cId), col("sim"))
   }
 
+  /** Exact all-pairs cosine within each blocking key, with the hot-block
+    * triangle decomposition that keeps a skewed label from funnelling its
+    * entire |block|² pair set through ONE shuffle task: each row gets a
+    * deterministic bucket b in [0, m) where m = ceil(|block| / maxBlock)
+    * (per label, from a broadcast count), and the pair (x, y) is produced
+    * exactly once by the task owning bucket pair (p, q) = (bx, by) ordered.
+    * Per-task pair count is bounded by ~maxBlock²; replication cost is
+    * m+1 copies of each hot-block row (cold blocks: m = 1, identical to a
+    * plain self-join). Total work stays O(|block|²) — inherent to exact
+    * all-pairs — but no task sees more than a bounded slice of it.
+    * Output: (label, p, q, va, vb, cos) with va < vb.
+    */
+  def blockedPairs(df: DataFrame, labelCol: String, idCol: String,
+      vecCol: String, maxBlock: Int = 1024): DataFrame = {
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    val base = df.select(col(labelCol).as("__lbl"), col(idCol).as("__id"),
+      col(vecCol).as("__vec"), l2norm(col(vecCol)).as("__nrm"))
+    val counts = base.groupBy("__lbl")
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__m",
+        greatest(lit(1), ceil(col("__cnt") / lit(maxBlock.toDouble)))
+          .cast("int"))
+      .select("__lbl", "__m")
+    val bucketed = base.join(broadcast(counts), "__lbl")
+      .withColumn("__b", pmod(hash(col("__id")), col("__m")))
+    val aSide = bucketed
+      .withColumn("__q", explode(sequence(col("__b"), col("__m") - 1)))
+      .select(col("__lbl"), col("__b").as("__p"), col("__q"),
+        col("__id").as("va"), col("__vec").as("__ea"),
+        col("__nrm").as("__na"))
+    val bSide = bucketed
+      .withColumn("__p", explode(sequence(lit(0), col("__b"))))
+      .select(col("__lbl"), col("__p"), col("__b").as("__q"),
+        col("__id").as("vb"), col("__vec").as("__eb"),
+        col("__nrm").as("__nb"))
+    aSide.join(bSide, Seq("__lbl", "__p", "__q"))
+      // same-bucket tasks see all ordered pairs -> keep one orientation;
+      // cross-bucket tasks see each unordered pair exactly once
+      .filter(col("__p") =!= col("__q") || col("va") < col("vb"))
+      .select(col("__lbl").as(labelCol), col("__p").as("p"),
+        col("__q").as("q"),
+        least(col("va"), col("vb")).as("va"),
+        greatest(col("va"), col("vb")).as("vb"),
+        round(dotFast(col("__ea"), col("__eb")) /
+          (col("__na") * col("__nb")), 6).as("cos"))
+  }
+
+  /** Per-label closest pair over `blockedPairs`, ranked by
+    * (cos DESC, va, vb) — as a declarative max_by aggregation rather than
+    * a row_number window, so the per-label reduction is map-side partial
+    * (each triangle task pre-reduces its own pair slice to one candidate
+    * before the shuffle on label).
+    */
+  def blockedClosestPair(df: DataFrame, labelCol: String, idCol: String,
+      vecCol: String, maxBlock: Int = 1024): DataFrame =
+    blockedPairs(df, labelCol, idCol, vecCol, maxBlock)
+      .groupBy(col(labelCol))
+      .agg(max_by(
+        struct(col("va"), col("vb"), col("cos")),
+        struct(col("cos"), -col("va"), -col("vb"))).as("__best"))
+      .select(col(labelCol), col("__best.va").as("va"),
+        col("__best.vb").as("vb"), col("__best.cos").as("cos"))
+
   /** IVF-style centroids: per-partition (label) column-wise mean of the
     * embedding, components rounded to `roundTo` decimals so that assignment
     * decisions are stable across engines/agg orders. Returns

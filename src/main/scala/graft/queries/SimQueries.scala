@@ -89,26 +89,12 @@ object SimQueries {
         |        row_number() OVER (PARTITION BY label ORDER BY cos DESC, va, vb) AS rk
         |      FROM p)
         |SELECT label, va, vb, cos FROM r WHERE rk = 1 ORDER BY label""") { (s, d) =>
-      // norms once per row BEFORE the pair join: 1 fold per pair instead
-      // of 3 (dot + two norms) — same bits, third of the work; the
-      // per-pair dot is the codegen'd primitive loop
-      graft.expr.GraftFunctions.register(s)
-      val emb = T.embeddings(s, d).select(col("label"), col("vec_id"),
-        col("embedding"), S.l2norm(col("embedding")).as("nrm"))
-      val a = emb.select(col("label"), col("vec_id").as("va"),
-        col("embedding").as("ea"), col("nrm").as("na"))
-      val b = emb.select(col("label").as("lb"), col("vec_id").as("vb"),
-        col("embedding").as("eb"), col("nrm").as("nb"))
-      val pairs = a.join(b, col("label") === col("lb") && col("va") < col("vb"))
-        .select(col("label"), col("va"), col("vb"),
-          round(S.dotFast(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
-            .as("cos"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("label"))
-        .orderBy(col("cos").desc, col("va"), col("vb"))
-      pairs.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select("label", "va", "vb", "cos")
+      // triangle-decomposed all-pairs: per-label block size capped at
+      // maxBlock per task (hot labels fan out over bucket pairs instead
+      // of funnelling |block|^2 rows through one task), closest pair via
+      // map-side-partial max_by instead of a per-label window
+      S.blockedClosestPair(T.embeddings(s, d),
+          "label", "vec_id", "embedding", maxBlock = 512)
         .orderBy("label")
     },
 
