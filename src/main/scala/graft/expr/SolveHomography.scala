@@ -93,6 +93,14 @@ object GraftFunctions {
           require(children.length == 2,
             "minhash_sig(shingles, k) takes exactly 2 arguments")
           MinHashSig(children(0), children(1))
+        }),
+      (
+        FunctionIdentifier("topk_by_sim"),
+        new ExpressionInfo(classOf[TopKBySim].getName, "topk_by_sim"),
+        (children: Seq[Expression]) => {
+          require(children.length == 3,
+            "topk_by_sim(sim, id, k) takes exactly 3 arguments")
+          TopKBySim(children(0), children(1), children(2))
         }))
 
   def register(spark: SparkSession): Unit =

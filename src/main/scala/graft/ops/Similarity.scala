@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over embedding columns (Array[Float]).
   *
@@ -51,10 +50,28 @@ object Similarity {
       lit(0.0),
       (s, p) => s + p)
 
-  /** Brute-force cosine top-k: for each query row, rank all candidates.
+  /** Per-query top-k reduction via the bounded TopKBySim aggregate
+    * (graft.expr.TopKAgg): map-side partial with an O(k) buffer per
+    * query, so no task ever sorts a query's whole candidate set — the
+    * scale-safe replacement for `row_number() over (partition by q_id)`.
+    * Ranking decisions are identical (sim DESC, id ASC on the already-
+    * rounded sim).
+    */
+  private def topKReduce(scored: DataFrame, qId: String, cId: String,
+      k: Int): DataFrame =
+    scored
+      .groupBy(col(qId))
+      .agg(call_function("topk_by_sim",
+        col("sim"), col(cId).cast("long"), lit(k)).as("__top"))
+      .select(col(qId), posexplode(col("__top")).as(Seq("__rk0", "__s")))
+      .select(col(qId), (col("__rk0") + 1).cast("int").as("rank"),
+        col("__s.id").as(cId), col("__s.sim").as("sim"))
+
+  /** Brute-force cosine top-k: for each query row, score all candidates.
     * The query side must be small (broadcast); candidates scan distributed.
     * Ranking key is round(sim, 6) DESC then candidate id ASC so that
-    * float noise can never flip the order vs the oracle.
+    * float noise can never flip the order vs the oracle; the reduction is
+    * the bounded-buffer aggregate (topKReduce), not a window.
     */
   def bruteTopK(
       queries: DataFrame, candidates: DataFrame, k: Int,
@@ -63,11 +80,7 @@ object Similarity {
     graft.expr.GraftFunctions.register(candidates.sparkSession)
     val joined = candidates.crossJoin(broadcast(queries))
       .withColumn("sim", round(cosineFast(col(qVec), col(cVec)), 6))
-    val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId))
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qId), col("rank"), col(cId), col("sim"))
+    topKReduce(joined, qId, cId, k)
   }
 
   /** Exact all-pairs cosine within each blocking key, with the hot-block
@@ -241,10 +254,6 @@ object Similarity {
       .select(col(qId), col(qVec), col("c_label"))
     val joined = qry.join(cand, "c_label")
       .withColumn("sim", round(cosineFast(col(qVec), col(cVec)), 6))
-    val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId))
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qId), col("rank"), col(cId), col("sim"))
+    topKReduce(joined, qId, cId, k)
   }
 }

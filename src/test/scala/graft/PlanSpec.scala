@@ -93,6 +93,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sim1/sim3: top-k is a bounded partial aggregate, not a per-query window") {
+    Seq("sim1_brute_topk", "sim3_ivf_topk").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q still ranks through a window:\n${p.take(1200)}")
+      assert(p.contains("topk_by_sim"),
+        s"$q does not use the bounded top-k aggregate:\n${p.take(1200)}")
+      // partial + final: the aggregate appears on both sides of a shuffle
+      val first = p.indexOf("topk_by_sim")
+      val last = p.lastIndexOf("topk_by_sim")
+      assert(first >= 0 && last > first, s"$q: no partial top-k stage")
+    }
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     import spark.implicits._
     val left = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "a")
