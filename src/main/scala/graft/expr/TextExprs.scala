@@ -86,7 +86,20 @@ case class MinHashSig(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(StringType, _), IntegerType) =>
+      // validate k at ANALYSIS time (k is a foldable literal in every
+      // caller): an oversized k would otherwise surface mid-job as an
+      // opaque per-row task failure instead of an upfront error
+      if (!right.foldable)
+        TypeCheckResult.TypeCheckFailure("minhash_sig: k must be a literal")
+      else {
+        val kv = right.eval()
+        if (kv == null || kv.asInstanceOf[Int] < 1 ||
+            kv.asInstanceOf[Int] > MinHashSig.A.length)
+          TypeCheckResult.TypeCheckFailure(
+            s"minhash_sig: k must be in [1, ${MinHashSig.A.length}], got $kv")
+        else TypeCheckResult.TypeCheckSuccess
+      }
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       s"minhash_sig expects (array<string>, int), got ${l.sql} and ${r.sql}")
   }

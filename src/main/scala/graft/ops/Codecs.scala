@@ -46,11 +46,33 @@ object Codecs {
       case scala.util.control.NonFatal(_) => Multimodal.decodeStub(path, bytes)
     }
 
+  /** Raster cap for LDR decode: 64 Mpx (~256 MB ARGB). A decompression
+    * bomb (tiny payload declaring a huge raster) would otherwise OOM the
+    * executor — and OutOfMemoryError is fatal, bypassing the
+    * NonFatal-to-stub fallback that protects the partition.
+    */
+  val MaxLdrPixels: Long = 64L * 1024 * 1024
+
   /** JPEG/PNG/BMP/GIF via javax.imageio: true dimensions, color-model
-    * channel count, Rec.601 mean luma over all pixels.
+    * channel count, Rec.601 mean luma over all pixels. Dimensions are
+    * read from the format HEADER first and checked against MaxLdrPixels
+    * before any pixel memory is allocated.
     */
   def decodeLdr(path: String, bytes: Array[Byte]): MediaMeta = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    val img = try {
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"no ImageIO reader for $path")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val hw = reader.getWidth(0)
+        val hh = reader.getHeight(0)
+        require(hw > 0 && hh > 0 && hw.toLong * hh <= MaxLdrPixels,
+          s"$path declares ${hw}x$hh, over the ${MaxLdrPixels}px decode cap")
+        reader.read(0)
+      } finally reader.dispose()
+    } finally iis.close()
     require(img != null, s"ImageIO could not decode $path")
     val w = img.getWidth
     val h = img.getHeight
@@ -135,24 +157,35 @@ object Codecs {
           x += 1
         }
       } else {
-        var x = 0
+        // old/flat format: decode the REST of the image as one pixel
+        // stream — old-style (1,1,1,count) repeat runs legally cross
+        // scanline boundaries in genuine old-format files, so the
+        // previous pixel and run shift carry across lines. Total pixels
+        // are tracked against w*h; an overrunning or truncated stream
+        // throws and falls back to the stub via decode()'s catch.
+        var remaining = (h - y).toLong * w
         var shift = 0
         var pr = 0; var pg = 0; var pb = 0; var pe = 0
-        while (x < w) {
+        while (remaining > 0) {
+          require(pos + 4 <= bytes.length, s"truncated RGBE pixels: $path")
           val r = u8(); val g = u8(); val b = u8(); val e = u8()
           if (r == 1 && g == 1 && b == 1) { // old repeat marker
-            val count = e << shift
-            var i = 0
+            require(shift <= 24, s"malformed RGBE repeat chain: $path")
+            val count = e.toLong << shift
+            require(count <= remaining,
+              s"RGBE repeat run overruns the image: $path")
+            var i = 0L
             while (i < count) { addPixel(pr, pg, pb, pe); i += 1 }
-            x += count
+            remaining -= count
             shift += 8
           } else {
             pr = r; pg = g; pb = b; pe = e
             addPixel(r, g, b, e)
-            x += 1
+            remaining -= 1
             shift = 0
           }
         }
+        y = h - 1 // stream consumed the rest of the image
       }
       y += 1
     }

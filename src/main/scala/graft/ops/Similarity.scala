@@ -172,7 +172,7 @@ object Similarity {
     * Label-partition centroids (`centroids`) capture whatever structure
     * the labels have; on weakly-labelled data the refined cells improve
     * recall@10 by ~25 points at the same probe budget (see
-    * SimilaritySpec).
+    * SimilaritySpec in OpsSpec.scala).
     */
   def kmeansCentroids(embeddings: DataFrame, vecCol: String, idCol: String,
       k: Int, iters: Int = 3, roundTo: Int = 3): DataFrame = {
@@ -191,10 +191,30 @@ object Similarity {
           array_sort(collect_list(struct(col("pos"), col("cv")))),
           s => s.getField("cv")).as("centroid"))
     }
-    // k rows, but `iters` full passes of lineage behind them: cache so
-    // assign + probe consumers don't re-run Lloyd per branch
-    refined.cache()
+    // materialize the <= k result rows into a LOCAL relation: consumers
+    // (centroidRanks) collect the centroid table anyway, and a local
+    // relation leaves nothing pinned in the executor cache — the old
+    // .cache() leaked one cached DF + Lloyd lineage per invocation in a
+    // long-lived session
+    val spark = embeddings.sparkSession
+    val rows = refined.collect()
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), refined.schema)
   }
+
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Memoized IVF index build — the pipeline-stage separation a real
+    * system has between index BUILD and query: the k-means centroid table
+    * for a given (cacheKey, k) is computed once per JVM and reused by
+    * every subsequent query, so repeated searches stop paying the Lloyd
+    * passes. cacheKey should identify the corpus (e.g. its directory).
+    */
+  def kmeansIndex(embeddings: DataFrame, vecCol: String, idCol: String,
+      k: Int, cacheKey: String, iters: Int = 3): DataFrame =
+    indexCache.computeIfAbsent(s"$cacheKey|$vecCol|$k|$iters",
+      _ => kmeansCentroids(embeddings, vecCol, idCol, k, iters))
 
   /** Rank centroids per vector by squared L2 (rounded for cross-engine
     * tie stability, then centroid label as tiebreak). The centroid table
@@ -207,12 +227,24 @@ object Similarity {
     * to rank against a handful of rows.
     * Output: input columns + (d2, c_label, rk), decisions identical to
     * the window form (same rounding, same tiebreak).
+    *
+    * NOTE: the centroid collect means building this DataFrame RUNS a
+    * Spark job (plan construction is eager on `cents`). An empty centroid
+    * table (empty or fully-filtered input) yields an empty result with
+    * the same schema, mirroring what the old window form returned.
     */
   def centroidRanks(vectors: DataFrame, vecCol: String, idCol: String,
       cents: DataFrame, maxRank: Int): DataFrame = {
     val rows = cents
       .select(col(cents.columns.head).as("c_label"), col("centroid"))
       .collect()
+    if (rows.isEmpty) {
+      val labelType = cents.schema.head.dataType
+      return vectors.limit(0)
+        .withColumn("d2", lit(null).cast("double"))
+        .withColumn("c_label", lit(null).cast(labelType))
+        .withColumn("rk", lit(null).cast("int"))
+    }
     val centsLit = array(rows.map { r =>
       struct(
         lit(r.get(0)).as("c_label"),

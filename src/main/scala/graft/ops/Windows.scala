@@ -57,24 +57,43 @@ object Windows {
     * tiny cumulative-offset array, then number rows per partition — no
     * single-task window. 0-based in `outCol`.
     *
-    * Two passes over the data (count + number) instead of one single-task
-    * window pass; at 100 TB the former is a win by orders of magnitude.
+    * The sorted RDD is persisted (MEMORY_AND_DISK) so the range sort runs
+    * ONCE: the count pass materializes the cache and the numbering pass
+    * reads it back — without the persist both passes re-sorted every
+    * partition. The cached blocks are reclaimed by Spark's ContextCleaner
+    * as soon as the returned lineage is garbage-collected; callers that
+    * want deterministic release can `Windows.unpersistRowNumberCache(df)`.
     */
   def withGlobalRowNumbers(df: DataFrame, orderCol: String,
       outCol: String = "rn0"): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(col(orderCol)).sortWithinPartitions(col(orderCol))
-    val counts = sorted.rdd
+    val sortedRdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sortedRdd
       .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     val schema = StructType(sorted.schema.fields :+
       StructField(outCol, LongType, nullable = false))
-    val numbered = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+    val numbered = sortedRdd.mapPartitionsWithIndex { (i, it) =>
       var k = offsets(i)
       it.map { r => val out = Row.fromSeq(r.toSeq :+ k); k += 1; out }
     }
     spark.createDataFrame(numbered, schema)
+  }
+
+  /** Release the persisted sort behind a `withGlobalRowNumbers` result
+    * once its consumers have run: walks the RDD lineage and unpersists
+    * any cached ancestor.
+    */
+  def unpersistRowNumberCache(numbered: DataFrame): Unit = {
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit = {
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        r.unpersist(false)
+      r.dependencies.foreach(d => walk(d.rdd))
+    }
+    walk(numbered.queryExecution.toRdd)
   }
 
   /** gapSessions on top of the scale-safe numbering — identical output to

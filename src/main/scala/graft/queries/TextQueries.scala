@@ -287,6 +287,27 @@ object TextQueries {
         .filter(size(col("tk")) > 0)
         .select(col("doc_id"), TX.simhash32(col("tk")).as("simhash"))
         .orderBy("doc_id")
+    },
+
+    // BPE-ish sub-word tokenizer (letter runs / digit runs / single
+    // punctuation — TextOps.bpeTokens): token count + distinct-token
+    // count per document. Same RE2-compatible pattern on both engines.
+    QueryDef("t9_bpe_tokens",
+      """SELECT doc_id,
+        |  CAST(len(bpe) AS BIGINT) AS n_bpe,
+        |  CAST(len(list_distinct(bpe)) AS BIGINT) AS n_bpe_distinct
+        |FROM (SELECT doc_id,
+        |        regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')
+        |          AS bpe
+        |      FROM documents)
+        |ORDER BY doc_id""") { (s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"), TX.bpeTokens(col("text")).as("bpe"))
+        .select(col("doc_id"),
+          size(col("bpe")).cast("bigint").as("n_bpe"),
+          size(array_distinct(col("bpe"))).cast("bigint")
+            .as("n_bpe_distinct"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -67,6 +67,49 @@ class CodecSpec extends SparkSpec {
     assert(math.abs(m.meanLuma - RgbeLuma) < 1e-9, s"luma ${m.meanLuma}")
   }
 
+  test("decodeRgbe: old-style repeat run crossing a scanline boundary") {
+    // w=4, h=2: one literal pixel, then a repeat of 7 covering the rest
+    // of line 0 AND all of line 1 — legal in genuine old-format files
+    val bytes = hdrHeader(4, 2) ++
+      Array[Byte](64, -128, 32, -120) ++
+      Array[Byte](1, 1, 1, 7)
+    val m = Codecs.decode("cross.hdr", bytes)
+    assert(m.width == 4 && m.height == 2 && m.channels == 3,
+      "cross-scanline run must decode, not fall back to the stub")
+    assert(math.abs(m.meanLuma - RgbeLuma) < 1e-9, s"luma ${m.meanLuma}")
+  }
+
+  test("decodeRgbe: overrunning repeat count degrades to the stub") {
+    val bytes = hdrHeader(4, 1) ++
+      Array[Byte](64, -128, 32, -120) ++
+      Array[Byte](1, 1, 1, 9) // 9 > the 3 pixels remaining
+    assert(Codecs.decode("bad.hdr", bytes) ==
+      Multimodal.decodeStub("bad.hdr", bytes))
+  }
+
+  test("decompression-bomb PNG is capped from the header, before pixel alloc") {
+    // minimal PNG: signature + IHDR declaring 50000x50000 (2.5 Gpx) —
+    // a correct CRC so the reader trusts the header
+    val bos = new ByteArrayOutputStream()
+    bos.write(Array[Byte](-119, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'))
+    val ihdr = new java.io.ByteArrayOutputStream()
+    ihdr.write("IHDR".getBytes("US-ASCII"))
+    val d = new java.io.DataOutputStream(ihdr)
+    d.writeInt(50000); d.writeInt(50000) // width, height
+    d.write(8); d.write(2); d.write(0); d.write(0); d.write(0)
+    val chunk = ihdr.toByteArray
+    val len = new java.io.DataOutputStream(bos)
+    len.writeInt(chunk.length - 4)
+    bos.write(chunk)
+    val crc = new java.util.zip.CRC32()
+    crc.update(chunk)
+    len.writeInt(crc.getValue.toInt)
+    val bomb = bos.toByteArray
+    assert(Codecs.isLdrImage(bomb), "test blob must look like a PNG")
+    assert(Codecs.decode("bomb.png", bomb) ==
+      Multimodal.decodeStub("bomb.png", bomb))
+  }
+
   test("decodeRgbe: zero exponent means zero radiance, not 2^-136") {
     val bytes = hdrHeader(4, 1) ++ Array.fill(4)(
       Array[Byte](-1, -1, -1, 0)).flatten

@@ -8,6 +8,36 @@ import graft.ops.Geometry
   */
 class ExprSpec extends SparkSpec {
 
+  test("minhash_sig rejects an oversized k at analysis time, not mid-job") {
+    GraftFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_sig(array('a b c'), 16)").collect()
+    }
+    assert(e.getMessage.contains("k must be in [1, 8]"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
+  test("topk_by_sim keeps the k best by (sim DESC, id ASC) across merges") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i % 3, i, (i % 10) / 10.0))
+      .toDF("g", "id", "sim").repartition(7)
+    val got = df.groupBy("g")
+      .agg(org.apache.spark.sql.functions.call_function("topk_by_sim",
+        org.apache.spark.sql.functions.col("sim"),
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.lit(4)).as("top"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getLong(0), s.getDouble(1)))).toMap
+    (0L until 3L).foreach { g =>
+      val want = (0L until 100L).filter(_ % 3 == g)
+        .map(i => (i, (i % 10) / 10.0))
+        .sortBy { case (id, s) => (-s, id) }.take(4)
+      assert(got(g) == want, s"group $g: ${got(g)} vs $want")
+    }
+  }
+
   test("solve_homography is callable from SQL and matches the Scala solve") {
     GraftFunctions.register(spark)
     val sql = """

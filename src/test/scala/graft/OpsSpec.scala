@@ -76,6 +76,18 @@ class WindowsSpec extends SparkSpec {
     assert(viaRdd.exceptAll(viaWindow).isEmpty &&
       viaWindow.exceptAll(viaRdd).isEmpty)
   }
+
+  test("withGlobalRowNumbers persists the sort once and can release it") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val numbered = Windows.withGlobalRowNumbers(
+      Tables.supplier(spark, sf("sf0.001")), "s_suppkey")
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "sorted RDD must be persisted (single range sort)")
+    assert(numbered.count() > 0)
+    Windows.unpersistRowNumberCache(numbered)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((added -- after) == added, "unpersist must release the sort cache")
+  }
 }
 
 class DedupSpec extends SparkSpec {
