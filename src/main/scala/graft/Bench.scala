@@ -5,8 +5,33 @@ import org.apache.spark.sql.SparkSession
   * JSON line with per-query wall seconds. A failing query is loudly
   * reported on stderr (name + exception) and contributes -1.0 — never a
   * silent near-zero that reads as "fast".
+  *
+  * If BASELINE_local.json exists (recorded DuckDB per-query wall times at
+  * the same sf — scripts/baseline.py), the line also carries per-query
+  * spark/duckdb ratios and their geometric mean (`vs_baseline_geomean`),
+  * making the "within 2x of the local single-node baseline" target
+  * mechanically checkable.
   */
 object Bench {
+
+  /** BASELINE_local.json "queries" map, if the file exists for this sf. */
+  def loadBaseline(sfDir: String): Map[String, Double] = {
+    val f = new java.io.File("BASELINE_local.json")
+    if (!f.exists) return Map.empty
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(f)
+      if (root.path("sf_dir").asText("") != sfDir) return Map.empty
+      val it = root.path("queries").properties().iterator()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> e.getValue.asDouble()
+      }
+      b.result()
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -37,7 +62,32 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.sorted.mkString(",")}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val baseline = loadBaseline(sfDir)
+    val ratioPart =
+      if (baseline.isEmpty) ""
+      else {
+        val ratios = results.collect {
+          case (k, v) if v >= 0 && baseline.get(k).exists(_ > 0) =>
+            k -> v / baseline(k)
+        }
+        val rs = ratios.map { case (k, r) =>
+          "\"" + k + "\":" + f"$r%.3f" }.mkString("{", ",", "}")
+        val geomean =
+          math.exp(ratios.map(r => math.log(r._2)).sum / ratios.size)
+        // total-vs-total is the headline comparison: per-query ratios on
+        // sub-10ms DuckDB queries mostly measure Spark's fixed per-job
+        // floor (~0.2 s scheduling + footer reads), which amortizes away
+        // at scale; the total ratio amortizes it here too
+        val totalBase = results.collect {
+          case (k, v) if v >= 0 && baseline.get(k).exists(_ > 0) =>
+            baseline(k)
+        }.sum
+        val totalSpark = results.collect {
+          case (k, v) if v >= 0 && baseline.get(k).exists(_ > 0) => v
+        }.sum
+        f""","baseline_sec":${baseline.values.sum}%.2f,"vs_baseline_total":${totalSpark / totalBase}%.3f,"vs_baseline":$rs,"vs_baseline_geomean":$geomean%.3f"""
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$ratioPart}""")
     spark.stop()
   }
 }
