@@ -101,6 +101,14 @@ object GraftFunctions {
           require(children.length == 3,
             "topk_by_sim(sim, id, k) takes exactly 3 arguments")
           TopKBySim(children(0), children(1), children(2))
+        }),
+      (
+        FunctionIdentifier("winnow_fp"),
+        new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
+        (children: Seq[Expression]) => {
+          require(children.length == 3,
+            "winnow_fp(text, k, w) takes exactly 3 arguments")
+          WinnowFp(children(0), children(1), children(2))
         }))
 
   def register(spark: SparkSession): Unit =

@@ -72,6 +72,44 @@ object TextOps {
         i => text.substr(i, lit(n))))
       .otherwise(array())
 
+  /** K-gram polynomial hashes h_i = sum code(text[i+j]) * 31^(k-1-j) —
+    * the rolling-hash values of winnowing fingerprinting, as a
+    * higher-order-function expression (exact long arithmetic, no modular
+    * reduction: k <= 8 keeps the sum under 2^51 for any UTF-16 unit, so
+    * Spark, this twin, and DuckDB BIGINT agree bit-for-bit).
+    */
+  def kgramHashesHof(text: Column, k: Int): Column = {
+    require(k >= 1 && k <= 8, "k must be in [1, 8] for exact arithmetic")
+    when(length(text) >= k,
+      transform(
+        sequence(lit(1), length(text) - (k - 1)),
+        i => aggregate(sequence(lit(0), lit(k - 1)), lit(0L),
+          (acc, j) => acc * 31L + ascii(text.substr(i + j, lit(1))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Winnowing document fingerprint (HOF reference form): sorted distinct
+    * sliding-window minima (window w) over the k-gram hashes. Prefer the
+    * codegen'd `winnowFingerprintsFast` on hot paths — one O(n) rolling
+    * pass per row instead of O(n*k*w) interpreted lambdas.
+    */
+  def winnowFingerprintsHof(text: Column, k: Int, w: Int): Column = {
+    val hs = kgramHashesHof(text, k)
+    val mins = when(size(hs) >= w,
+      transform(
+        sequence(lit(1), size(hs) - (w - 1)),
+        t => array_min(slice(hs, t, lit(w)))))
+      .otherwise(array().cast("array<bigint>"))
+    array_sort(array_distinct(mins))
+  }
+
+  /** Codegen'd winnowing fingerprint (graft.expr.WinnowFp) — same values,
+    * a true Rabin-Karp rolling hash + monotonic-deque minima in one
+    * compiled pass. Requires GraftFunctions.register on the session.
+    */
+  def winnowFingerprintsFast(text: Column, k: Int, w: Int): Column =
+    call_function("winnow_fp", text, lit(k), lit(w))
+
   /** One MinHash value: min over shingles of md5(seedTag | shingle).
     * Lexicographic min over fixed-width hex == numeric min — portable
     * across engines (the DuckDB oracle uses the same trick).

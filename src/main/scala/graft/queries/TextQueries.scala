@@ -308,6 +308,38 @@ object TextQueries {
           size(array_distinct(col("bpe"))).cast("bigint")
             .as("n_bpe_distinct"))
         .orderBy("doc_id")
+    },
+
+    // Winnowing document fingerprint (rolling-hash k-grams + window
+    // minima, the classic near-dup fingerprint): codegen'd one-pass
+    // Rabin-Karp in Spark (expr/WinnowFp), O(n*k) list arithmetic in the
+    // oracle — exact longs both sides (no modulus; k=8 keeps sums < 2^51).
+    QueryDef("t10_winnow_fp",
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 8 THEN
+        |      list_transform(range(1, length(text) - 6), i ->
+        |        CAST(list_sum(list_transform(range(0, 8), j ->
+        |          CAST(unicode(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)
+        |            * CAST(pow(31, 7 - j) AS BIGINT))) AS BIGINT))
+        |    ELSE [] END AS hs
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) >= 4 THEN
+        |      list_sort(list_distinct(list_transform(range(1, len(hs) - 2),
+        |        t -> list_min(hs[t:t+3]))))
+        |    ELSE [] END AS fps
+        |  FROM g)
+        |SELECT doc_id, generate_subscripts(fps, 1) - 1 AS pos,
+        |  unnest(fps) AS fp
+        |FROM m ORDER BY doc_id, pos""") { (s, d) =>
+      graft.expr.GraftFunctions.register(s)
+      T.documents(s, d)
+        .select(col("doc_id"),
+          TX.winnowFingerprintsFast(col("text"), 8, 4).as("fps"))
+        .select(col("doc_id"), posexplode(col("fps")).as(Seq("pos", "fp")))
+        .orderBy("doc_id", "pos")
     }
   )
 }

@@ -184,6 +184,32 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0) == Seq() && out(1) == Seq("abc", "bcd"))
   }
 
+  test("winnow_fp matches the HOF twin on real documents + edge strings") {
+    graft.expr.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sf("sf0.001")).select("doc_id", "text")
+      .limit(50)
+      .union(Seq((9001L, ""), (9002L, "short"), (9003L, "exactly8"),
+        (9004L, "elevenchars"), (9005L, "aaaaaaaaaaaaaaaa"),
+        (9006L, "abababababababab")).toDF("doc_id", "text"))
+    val fast = docs.select(col("doc_id"),
+      TextOps.winnowFingerprintsFast(col("text"), 8, 4).as("fp"))
+    val hof = docs.select(col("doc_id"),
+      TextOps.winnowFingerprintsHof(col("text"), 8, 4).as("fp"))
+    assert(fast.exceptAll(hof).isEmpty && hof.exceptAll(fast).isEmpty,
+      "codegen'd rolling fingerprint must equal the HOF form")
+  }
+
+  test("winnow_fp: uniform text collapses to one fingerprint; short text none") {
+    graft.expr.GraftFunctions.register(spark)
+    // 12 'a's, k=8: every k-gram hash = 97 * (31^8-1)/30; one distinct min
+    val expectHash = (0 until 8).foldLeft(0L)((acc, _) => acc * 31 + 'a')
+    val out = Seq("aaaaaaaaaaaa", "tooshort").toDF("t")
+      .select(TextOps.winnowFingerprintsFast(col("t"), 8, 4).as("fp"))
+      .as[Seq[Long]].collect()
+    assert(out(0) == Seq(expectHash), s"${out(0)} vs $expectHash")
+    assert(out(1) == Seq())
+  }
+
   test("simhash32 matches a slow reference implementation") {
     def slowSimhash(tokens: Seq[String]): String = {
       val counts = new Array[Int](32)
