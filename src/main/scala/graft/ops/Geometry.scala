@@ -189,6 +189,18 @@ object Geometry {
   def centerCrop(arr: Column, lo: Int, len: Int): Column =
     slice(arr, lo, len)
 
+  /** Column-level SE(3) inverse (point3d_transformation.py:177-191):
+    * given per-row rotation columns R (Mat3) and translation columns,
+    * returns (R^T, -R^T t) — the per-row form of `se3Inverse`.
+    */
+  def se3InverseCols(r: Mat3, tx: Column, ty: Column, tz: Column)
+      : (Mat3, Seq[Column]) = {
+    val rt = Seq.tabulate(3, 3)((i, j) => r(j)(i))
+    val nt = Seq.tabulate(3)(i =>
+      -(r(0)(i) * tx + r(1)(i) * ty + r(2)(i) * tz))
+    (rt, nt)
+  }
+
   /** Closed-form SE(3) inverse of a 4x4 [R|t] (row-major 16)
     * (point3d_transformation.py:177-191, commented variant): R^T, -R^T t.
     */

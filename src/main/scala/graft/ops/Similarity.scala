@@ -213,7 +213,10 @@ object Similarity {
     */
   def kmeansIndex(embeddings: DataFrame, vecCol: String, idCol: String,
       k: Int, cacheKey: String, iters: Int = 3): DataFrame =
-    indexCache.computeIfAbsent(s"$cacheKey|$vecCol|$k|$iters",
+    // key includes the session so a rebuilt session never sees a local
+    // relation minted by a stopped one
+    indexCache.computeIfAbsent(
+      s"${System.identityHashCode(embeddings.sparkSession)}|$cacheKey|$vecCol|$k|$iters",
       _ => kmeansCentroids(embeddings, vecCol, idCol, k, iters))
 
   /** Rank centroids per vector by squared L2 (rounded for cross-engine

@@ -266,6 +266,68 @@ object GeoQueries {
       graft.pipeline.PoseGrid.poses(s).orderBy("pose_idx")
     },
 
+    // X14: per-row SE(3) inverse (point3d_transformation.py:177-191):
+    // R from the x7 euler columns, t from quantity/price/discount;
+    // output R^T and -R^T t. Trig-derived -> round 6; partkey/suppkey
+    // break ordering ties (linenumber alone is not unique).
+    QueryDef("x14_se3_inverse",
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    CAST(l_partkey % 360 - 180 AS DOUBLE) AS a,
+        |    CAST(l_suppkey % 180 - 90 AS DOUBLE) AS b,
+        |    CAST(l_linenumber * 30 AS DOUBLE) AS c,
+        |    l_quantity AS tx, l_extendedprice / 100.0 AS ty,
+        |    l_discount * 10.0 AS tz
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT *,
+        |    cos(radians(a)) * cos(radians(b)) AS r00,
+        |    cos(radians(a)) * sin(radians(b)) * sin(radians(c)) -
+        |      sin(radians(a)) * cos(radians(c)) AS r01,
+        |    cos(radians(a)) * sin(radians(b)) * cos(radians(c)) +
+        |      sin(radians(a)) * sin(radians(c)) AS r02,
+        |    sin(radians(a)) * cos(radians(b)) AS r10,
+        |    sin(radians(a)) * sin(radians(b)) * sin(radians(c)) +
+        |      cos(radians(a)) * cos(radians(c)) AS r11,
+        |    sin(radians(a)) * sin(radians(b)) * cos(radians(c)) -
+        |      cos(radians(a)) * sin(radians(c)) AS r12,
+        |    -sin(radians(b)) AS r20,
+        |    cos(radians(b)) * sin(radians(c)) AS r21,
+        |    cos(radians(b)) * cos(radians(c)) AS r22
+        |  FROM base)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  0.0 + round(r00, 6) AS i00, 0.0 + round(r10, 6) AS i01,
+        |  0.0 + round(r20, 6) AS i02,
+        |  0.0 + round(r01, 6) AS i10, 0.0 + round(r11, 6) AS i11,
+        |  0.0 + round(r21, 6) AS i12,
+        |  0.0 + round(r02, 6) AS i20, 0.0 + round(r12, 6) AS i21,
+        |  0.0 + round(r22, 6) AS i22,
+        |  0.0 + round(-(r00 * tx + r10 * ty + r20 * tz), 6) AS it0,
+        |  0.0 + round(-(r01 * tx + r11 * ty + r21 * tz), 6) AS it1,
+        |  0.0 + round(-(r02 * tx + r12 * ty + r22 * tz), 6) AS it2
+        |FROM r
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""") { (s, d) =>
+      val base = T.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        (col("l_partkey") % 360 - 180).cast("double").as("a"),
+        (col("l_suppkey") % 180 - 90).cast("double").as("b"),
+        (col("l_linenumber") * 30).cast("double").as("c"),
+        col("l_quantity").as("tx"),
+        (col("l_extendedprice") / 100.0).as("ty"),
+        (col("l_discount") * 10.0).as("tz"))
+      val m = G.eulerZyxToMatrix(col("a"), col("b"), col("c"))
+      val (rt, nt) = G.se3InverseCols(m, col("tx"), col("ty"), col("tz"))
+      val outs =
+        (for (i <- 0 until 3; j <- 0 until 3)
+          yield (lit(0.0) + round(rt(i)(j), 6)).as(s"i$i$j")) ++
+        nt.zipWithIndex.map { case (e, i) =>
+          (lit(0.0) + round(e, 6)).as(s"it$i") }
+      base.select(Seq(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey")) ++ outs: _*)
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    },
+
     // S9/HDR: the pure-Spark exposure-weighted merge semantic of the
     // external hdrgen stage (handlehdrgen.py:30-33; bracket
     // calculate.py:109). Each orderkey's first 5 lineitems play the 5

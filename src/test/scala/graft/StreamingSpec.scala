@@ -85,6 +85,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("HDR merge runs as a foreachBatch stage over completed groups") {
+    // §2.10 sink side: each completed 5-exposure group is merged to HDR
+    // radiance inside foreachBatch — the external hdrgen stage
+    // (handlehdrgen.py:30-33) as a streaming Spark stage
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.Hdr
+    val bracket = Hdr.ExposureBracket
+    val zs = Seq(0.5, 0.25, 0.4, 0.7, 0.9)
+    val pixels = (0 until 5)
+      .map(s => (s"0_$s.JPG", s + 1, bracket(s), Seq(zs(s), zs(s) / 2)))
+      .toDF("path", "slot", "t", "px")
+    val input = MemoryStream[FileEvent]
+    val merged =
+      scala.collection.mutable.ArrayBuffer[(String, Seq[Double])]()
+    val q = Sessionize.completeGroups(input.toDS())
+      .filter(_.complete)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[Sessionize.PoseGroup],
+         _: Long) =>
+          val exposures = batch.toDF()
+            .select(col("poseId"), explode(col("paths")).as("path"))
+            .join(pixels, "path")
+          Hdr.mergeGroups(exposures, "poseId", "slot", "t", "px")
+            .collect()
+            .foreach(r => merged.synchronized {
+              merged += (r.getString(0) ->
+                r.getAs[scala.collection.Seq[Double]]("radiance").toSeq)
+            })
+      }
+      .start()
+    try {
+      input.addData((0 until 5).map(s => ev("0", s, 100 + s)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(merged.map(_._1).toSeq == Seq("0"))
+    // scalar reference of the merge formula per channel
+    def expected(chan: Seq[Double]): Double = {
+      val terms = chan.zip(bracket).map { case (z, t) =>
+        val w = math.max(1e-3, 1.0 - math.abs(2 * z - 1)); (w * z / t, w)
+      }
+      terms.map(_._1).sum / terms.map(_._2).sum
+    }
+    val got = merged.head._2
+    assert(math.abs(got(0) - expected(zs)) < 1e-12)
+    assert(math.abs(got(1) - expected(zs.map(_ / 2))) < 1e-12)
+  }
+
   test("sessionGaps (batch form) splits on gaps over the threshold") {
     import spark.implicits._
     val df = Seq(
