@@ -248,15 +248,26 @@ object Similarity {
         .withColumn("c_label", lit(null).cast(labelType))
         .withColumn("rk", lit(null).cast("int"))
     }
-    val centsLit = array(rows.map { r =>
-      struct(
-        lit(r.get(0)).as("c_label"),
-        array(r.getSeq[Double](1).map(lit(_)): _*).as("centroid"))
-    }.toSeq: _*)
+    // ONE typed Literal node for the whole centroid table, not a
+    // CreateArray tree of cells x dims literal nodes: the per-element
+    // form made every consumer pay seconds of analyzer/codegen work on a
+    // ~1600-node constant subtree (measured: sim2 cold 3.9 s -> the plan,
+    // not the data). Values and decisions are identical.
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val centsLit = cents.schema.head.dataType match {
+      case StringType => typedLit(rows.map(r =>
+        (r.getString(0), r.getSeq[Double](1).toSeq)))
+      case LongType => typedLit(rows.map(r =>
+        (r.getLong(0), r.getSeq[Double](1).toSeq)))
+      case IntegerType => typedLit(rows.map(r =>
+        (r.getInt(0), r.getSeq[Double](1).toSeq)))
+      case t => throw new IllegalArgumentException(
+        s"unsupported centroid label type ${t.sql}")
+    }
     val ranked = slice(
       array_sort(transform(centsLit, c => struct(
-        round(l2sq(col(vecCol), c.getField("centroid")), 6).as("d2"),
-        c.getField("c_label").as("c_label")))),
+        round(l2sq(col(vecCol), c.getField("_2")), 6).as("d2"),
+        c.getField("_1").as("c_label")))),
       1, maxRank)
     vectors
       .select(col("*"), posexplode(ranked).as(Seq("__rk0", "__s")))
