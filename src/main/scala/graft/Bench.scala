@@ -63,29 +63,33 @@ object Bench {
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.sorted.mkString(",")}")
     val baseline = loadBaseline(sfDir)
+    // Locale.ROOT: the f"" interpolator is default-locale-sensitive and a
+    // comma-decimal locale would corrupt the JSON line
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+    val ratios =
+      if (baseline.isEmpty) Nil
+      else results.collect {
+        case (k, v) if v >= 0 && baseline.get(k).exists(_ > 0) =>
+          (k, v, baseline(k))
+      }
     val ratioPart =
-      if (baseline.isEmpty) ""
+      if (ratios.isEmpty) "" // no baseline, or every query failed
       else {
-        val ratios = results.collect {
-          case (k, v) if v >= 0 && baseline.get(k).exists(_ > 0) =>
-            k -> v / baseline(k)
-        }
-        val rs = ratios.map { case (k, r) =>
-          "\"" + k + "\":" + f"$r%.3f" }.mkString("{", ",", "}")
+        val rs = ratios.map { case (k, v, b) =>
+          "\"" + k + "\":" + num(v / b, 3) }.mkString("{", ",", "}")
         val geomean =
-          math.exp(ratios.map(r => math.log(r._2)).sum / ratios.size)
+          math.exp(ratios.map(r => math.log(r._2 / r._3)).sum / ratios.size)
         // total-vs-total is the headline comparison: per-query ratios on
         // sub-10ms DuckDB queries mostly measure Spark's fixed per-job
         // floor (~0.2 s scheduling + footer reads), which amortizes away
         // at scale; the total ratio amortizes it here too
-        val totalBase = results.collect {
-          case (k, v) if v >= 0 && baseline.get(k).exists(_ > 0) =>
-            baseline(k)
-        }.sum
-        val totalSpark = results.collect {
-          case (k, v) if v >= 0 && baseline.get(k).exists(_ > 0) => v
-        }.sum
-        f""","baseline_sec":${baseline.values.sum}%.2f,"vs_baseline_total":${totalSpark / totalBase}%.3f,"vs_baseline":$rs,"vs_baseline_geomean":$geomean%.3f"""
+        val totalSpark = ratios.map(_._2).sum
+        val totalBase = ratios.map(_._3).sum
+        s""","baseline_sec":${num(baseline.values.sum, 2)}""" +
+          s""","vs_baseline_total":${num(totalSpark / totalBase, 3)}""" +
+          s""","vs_baseline":$rs""" +
+          s""","vs_baseline_geomean":${num(geomean, 3)}"""
       }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$ratioPart}""")
     spark.stop()

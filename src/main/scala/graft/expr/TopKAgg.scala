@@ -56,9 +56,16 @@ case class TopKBySim(
   override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
     new ArrayBuffer[(Double, Long)](k + 1)
 
-  /** true if a ranks strictly better than b: sim DESC then id ASC. */
-  @inline private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** true if a ranks strictly better than b: sim DESC then id ASC.
+    * Double.compare semantics so NaN orders GREATER than every value —
+    * identical to Spark's window sort and DuckDB's ORDER BY ... DESC
+    * (a NaN similarity, e.g. from a zero-norm vector, ranks first in
+    * both; a plain `>` would silently drop it).
+    */
+  @inline private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def insert(buf: ArrayBuffer[(Double, Long)],
       cand: (Double, Long)): Unit = {

@@ -18,9 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * deque for the window minima — versus the value-identical HOF twin
   * (`TextOps.winnowFingerprintsHof`, O(n*k*w) interpreted) kept as the
   * oracle-parity form. k is capped at 8 so the hash stays exact in 63
-  * bits for any UTF-16 code unit (max 65535 * (31^8-1)/30 < 2^51), which
-  * keeps Spark longs, the HOF twin, and DuckDB BIGINT arithmetic
-  * bit-identical with no modular reduction.
+  * bits for any Unicode code point (max 0x10FFFF * (31^8-1)/30 < 2^55,
+  * rolling intermediate < 2^60), which keeps Spark longs, the HOF twin,
+  * and DuckDB BIGINT arithmetic bit-identical with no modular reduction.
   */
 case class WinnowFp(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
@@ -64,12 +64,13 @@ case class WinnowFp(first: Expression, second: Expression, third: Expression)
 
 object WinnowFp {
   /** One rolling pass: k-gram hashes + deque sliding minima + distinct
-    * sort. Characters are UTF-16 code units (`String.charAt`), matching
-    * Spark's `ascii()` for the ASCII/BMP range the twin is tested on.
+    * sort. Characters are Unicode CODE POINTS (like Spark's `ascii()`,
+    * DuckDB's `unicode()`, and both engines' `substr`/`length`), so the
+    * twin equality holds beyond the BMP too.
     */
   def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val s = text.toString
-    val n = s.length
+    val cp = text.toString.codePoints().toArray
+    val n = cp.length
     if (n < k) return new GenericArrayData(Array.empty[Any])
     val nh = n - k + 1
     if (nh < w) return new GenericArrayData(Array.empty[Any])
@@ -78,14 +79,14 @@ object WinnowFp {
     var h = 0L
     var j = 0
     while (j < k) {
-      h = h * 31 + s.charAt(j)
+      h = h * 31 + cp(j)
       if (j < k - 1) pow *= 31
       j += 1
     }
     hs(0) = h
     var i = 1
     while (i < nh) {
-      h = (h - s.charAt(i - 1) * pow) * 31 + s.charAt(i + k - 1)
+      h = (h - cp(i - 1) * pow) * 31 + cp(i + k - 1)
       hs(i) = h
       i += 1
     }

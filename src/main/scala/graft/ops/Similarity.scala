@@ -202,22 +202,32 @@ object Similarity {
       java.util.Arrays.asList(rows: _*), refined.schema)
   }
 
-  private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // weak session keys: a stopped + GC'd session drops its whole index
+  // map (no cross-session reuse, no unbounded growth in a long-lived JVM)
+  private val indexCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
   /** Memoized IVF index build — the pipeline-stage separation a real
     * system has between index BUILD and query: the k-means centroid table
-    * for a given (cacheKey, k) is computed once per JVM and reused by
+    * for a given (cacheKey, k) is computed once per session and reused by
     * every subsequent query, so repeated searches stop paying the Lloyd
     * passes. cacheKey should identify the corpus (e.g. its directory).
     */
   def kmeansIndex(embeddings: DataFrame, vecCol: String, idCol: String,
-      k: Int, cacheKey: String, iters: Int = 3): DataFrame =
-    // key includes the session so a rebuilt session never sees a local
-    // relation minted by a stopped one
-    indexCache.computeIfAbsent(
-      s"${System.identityHashCode(embeddings.sparkSession)}|$cacheKey|$vecCol|$k|$iters",
+      k: Int, cacheKey: String, iters: Int = 3): DataFrame = {
+    val perSession = indexCache.synchronized {
+      val s = embeddings.sparkSession
+      var m = indexCache.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        indexCache.put(s, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$cacheKey|$vecCol|$k|$iters",
       _ => kmeansCentroids(embeddings, vecCol, idCol, k, iters))
+  }
 
   /** Rank centroids per vector by squared L2 (rounded for cross-engine
     * tie stability, then centroid label as tiebreak). The centroid table

@@ -75,8 +75,9 @@ object TextOps {
   /** K-gram polynomial hashes h_i = sum code(text[i+j]) * 31^(k-1-j) —
     * the rolling-hash values of winnowing fingerprinting, as a
     * higher-order-function expression (exact long arithmetic, no modular
-    * reduction: k <= 8 keeps the sum under 2^51 for any UTF-16 unit, so
-    * Spark, this twin, and DuckDB BIGINT agree bit-for-bit).
+    * reduction: k <= 8 keeps the sum under 2^55 for any Unicode code
+    * point, so Spark, this twin, and DuckDB BIGINT agree bit-for-bit;
+    * ascii/substr/length are all code-point-based in both engines).
     */
   def kgramHashesHof(text: Column, k: Int): Column = {
     require(k >= 1 && k <= 8, "k must be in [1, 8] for exact arithmetic")

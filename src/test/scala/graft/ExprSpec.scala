@@ -38,6 +38,37 @@ class ExprSpec extends SparkSpec {
     }
   }
 
+  test("topk_by_sim ranks NaN first, like the window sort and DuckDB DESC") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((1L, 0.9), (2L, Double.NaN), (3L, 0.5), (4L, 0.7))
+      .toDF("id", "sim").repartition(3)
+    val top = df.groupBy(lit(1).as("g"))
+      .agg(call_function("topk_by_sim", col("sim"), col("id"), lit(3))
+        .as("top"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(_.getLong(0))
+    assert(top == Seq(2L, 1L, 4L),
+      s"NaN similarity must rank first (Double.compare order), got $top")
+  }
+
+  test("winnow_fp twin equality holds for non-BMP (astral) characters") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val astral = "hello 😀 world of emoji 😀😁 tests"
+    val df = Seq(astral).toDF("text")
+    val fast = df.select(graft.ops.TextOps
+      .winnowFingerprintsFast(col("text"), 8, 4).as("fp"))
+      .as[Seq[Long]].collect()(0)
+    val hof = df.select(graft.ops.TextOps
+      .winnowFingerprintsHof(col("text"), 8, 4).as("fp"))
+      .as[Seq[Long]].collect()(0)
+    assert(fast == hof, s"codepoint parity: $fast vs $hof")
+    assert(fast.nonEmpty)
+  }
+
   test("solve_homography is callable from SQL and matches the Scala solve") {
     GraftFunctions.register(spark)
     val sql = """
