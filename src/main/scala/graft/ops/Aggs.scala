@@ -19,6 +19,13 @@ object Aggs {
   /** Grand stats over an error column: mean/std(pop)/max/min/median/RMSE
     * (extrinsic_calibration.py:216-226). numpy std is ddof=0 → stddev_pop.
     * Aggregate-derived floats rounded to `r` for oracle hash-match.
+    *
+    * Scale note: exact `median` buffers every value of the group in one
+    * aggregation buffer (Spark's Median is a collect-then-sort
+    * TypedImperativeAggregate) — faithful to numpy and required for the
+    * DuckDB hash-match, but a single-reducer memory funnel at 100 TB.
+    * `grandStatsScalable` below swaps it for the fixed-size
+    * approx_percentile sketch; accuracy is pinned in AggsSpec.
     */
   def grandStats(err: Column, r: Int = 6): Seq[Column] = Seq(
     round(avg(err), r).as("mean_err"),
@@ -26,6 +33,21 @@ object Aggs {
     max(err).as("max_err"),
     min(err).as("min_err"),
     round(median(err), r).as("median_err"),
+    round(sqrt(avg(err * err)), r).as("rmse"))
+
+  /** grandStats with the 100-TB median: approx_percentile's
+    * fixed-size histogram sketch (map-side partial, bounded memory at
+    * `accuracy` inverse-error) instead of the exact collect-everything
+    * Median buffer. Everything else identical.
+    */
+  def grandStatsScalable(err: Column, r: Int = 6,
+      accuracy: Int = 10000): Seq[Column] = Seq(
+    round(avg(err), r).as("mean_err"),
+    round(stddev_pop(err), r).as("std_err"),
+    max(err).as("max_err"),
+    min(err).as("min_err"),
+    round(percentile_approx(err, lit(0.5), lit(accuracy)), r)
+      .as("median_err"),
     round(sqrt(avg(err * err)), r).as("rmse"))
 
   /** Two-level aggregation: per-group mean, then global stats over the

@@ -298,6 +298,18 @@ class AggsSpec extends SparkSpec {
     assert(r.getLong(2) == 2L)
   }
 
+  test("grandStatsScalable: sketch median tracks the exact median") {
+    // 100k skewed values from the real error-like distribution shape
+    val df = (1 to 100000).map(i => math.pow(i.toDouble / 1000, 1.7))
+      .toDF("e")
+    val exact = df.agg(Aggs.grandStats(col("e")).head,
+      Aggs.grandStats(col("e"))(4)).collect()(0).getDouble(1)
+    val approx = df.agg(Aggs.grandStatsScalable(col("e")).head,
+      Aggs.grandStatsScalable(col("e"))(4)).collect()(0).getDouble(1)
+    assert(math.abs(approx - exact) / exact < 0.01,
+      s"sketch median $approx vs exact $exact")
+  }
+
   test("approxCounts stays within the configured relative error") {
     val ev = Tables.events(spark, sf("sf0.01"))
     val r = Aggs.approxCounts(ev, Seq("user_id", "event_type")).collect()(0)
