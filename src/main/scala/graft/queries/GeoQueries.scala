@@ -359,18 +359,26 @@ object GeoQueries {
         |  round(sum(greatest(0.001, 1 - abs(2*z - 1)) * z / t)
         |      / sum(greatest(0.001, 1 - abs(2*z - 1))), 6) AS radiance
         |FROM chan GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val bracket = array(graft.ops.Hdr.ExposureBracket.map(lit): _*)
+      // slot assignment without a window: per-key sorted top-5 via
+      // groupBy + array_sort + slice (no global sort pass), then
+      // posexplode re-ranks; the downstream mergeGroups groupBy reuses
+      // the same hash partitioning, so the whole query is ONE exchange.
+      // l_linenumber alone is NOT unique per orderkey in the synthetic
+      // data — partkey/suppkey break the tie for a total slot order.
       val five = T.lineitem(s, d)
-        // l_linenumber alone is NOT unique per orderkey in the synthetic
-        // data — partkey/suppkey break the tie for a total slot order
-        .withColumn("slot", row_number().over(
-          Window.partitionBy("l_orderkey")
-            .orderBy("l_linenumber", "l_partkey", "l_suppkey")))
-        .filter(col("slot") <= 5)
-        .withColumn("t", element_at(bracket, col("slot")))
-        .withColumn("px", array(col("l_quantity") / 50.0,
-          col("l_discount") * 10.0))
+        .select(col("l_orderkey"), struct(
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          (col("l_quantity") / 50.0).as("z0"),
+          (col("l_discount") * 10.0).as("z1")).as("r"))
+        .groupBy("l_orderkey")
+        .agg(slice(array_sort(collect_list(col("r"))), 1, 5).as("e5"))
+        .filter(size(col("e5")) === 5)
+        .select(col("l_orderkey"), posexplode(col("e5")).as(Seq("s0", "e")))
+        .select(col("l_orderkey"),
+          (col("s0") + 1).as("slot"),
+          element_at(bracket, col("s0") + 1).as("t"),
+          array(col("e.z0"), col("e.z1")).as("px"))
       graft.ops.Hdr.mergeGroups(five, "l_orderkey", "slot", "t", "px")
         .select(col("l_orderkey"),
           posexplode(col("radiance")).as(Seq("channel", "radiance")))
