@@ -63,7 +63,7 @@ object Intrinsic {
     * cyclic Jacobi rotations. Sizes here are 9x9 (DLT) and 6x6 (Zhang's
     * V^T V), where Jacobi is exact-enough and dependency-free.
     */
-  private[pipeline] def smallestEigvec(a0: Array[Array[Double]]): Array[Double] = {
+  private[graft] def smallestEigvec(a0: Array[Array[Double]]): Array[Double] = {
     val n = a0.length
     val a = a0.map(_.clone())
     val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
@@ -105,7 +105,7 @@ object Intrinsic {
     * elimination with partial pivoting (generalizes Extrinsic's 6x6 solve
     * to the bundle's 9 + 6V parameters).
     */
-  private[pipeline] def solveN(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+  private[graft] def solveN(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
     val n = b.length
     val m = Array.tabulate(n)(i => a(i) :+ b(i))
     for (c0 <- 0 until n) {
