@@ -109,6 +109,14 @@ object GraftFunctions {
           require(children.length == 3,
             "winnow_fp(text, k, w) takes exactly 3 arguments")
           WinnowFp(children(0), children(1), children(2))
+        }),
+      (
+        FunctionIdentifier("chargram_distinct"),
+        new ExpressionInfo(classOf[CharGramDistinct].getName, "chargram_distinct"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            "chargram_distinct(text, n) takes exactly 2 arguments")
+          CharGramDistinct(children(0), children(1))
         }))
 
   def register(spark: SparkSession): Unit =

@@ -123,13 +123,18 @@ object TextQueries {
         |            FROM documents)
         |      WHERE length(norm) >= 3)
         |ORDER BY doc_id""") { (s, d) =>
+      // n_grams is just length - 2 after the >= 3 filter; n_distinct is
+      // the codegen'd exact counter (chargram_distinct) — no per-gram
+      // string materialization. The HOF form (TX.charGrams +
+      // array_distinct) is the parity twin, pinned in TextOpsSpec.
+      graft.expr.GraftFunctions.register(s)
       T.documents(s, d)
         .select(col("doc_id"), TX.normalized(col("text")).as("norm"))
         .filter(length(col("norm")) >= 3)
-        .select(col("doc_id"), TX.charGrams(col("norm"), 3).as("g"))
         .select(col("doc_id"),
-          size(col("g")).cast("bigint").as("n_grams"),
-          size(array_distinct(col("g"))).cast("bigint").as("n_distinct"))
+          (length(col("norm")) - 2).cast("bigint").as("n_grams"),
+          call_function("chargram_distinct", col("norm"), lit(3))
+            .cast("bigint").as("n_distinct"))
         .orderBy("doc_id")
     },
 

@@ -184,6 +184,21 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0) == Seq() && out(1) == Seq("abc", "bcd"))
   }
 
+  test("chargram_distinct matches size(array_distinct(charGrams)) on real docs") {
+    graft.expr.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sf("sf0.001")).select("doc_id", "text")
+      .limit(100)
+      .union(Seq((9001L, ""), (9002L, "ab"), (9003L, "abc"),
+        (9004L, "aaaa"), (9005L, "ab😀cd😀ab")).toDF("doc_id", "text"))
+      .select(col("doc_id"), TextOps.normalized(col("text")).as("norm"))
+    val fast = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.call_function(
+        "chargram_distinct", col("norm"), lit(3)).as("n"))
+    val hof = docs.select(col("doc_id"),
+      size(array_distinct(TextOps.charGrams(col("norm"), 3))).as("n"))
+    assert(fast.exceptAll(hof).isEmpty && hof.exceptAll(fast).isEmpty)
+  }
+
   test("winnow_fp matches the HOF twin on real documents + edge strings") {
     graft.expr.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, sf("sf0.001")).select("doc_id", "text")
