@@ -117,6 +117,14 @@ object GraftFunctions {
           require(children.length == 2,
             "chargram_distinct(text, n) takes exactly 2 arguments")
           CharGramDistinct(children(0), children(1))
+        }),
+      (
+        FunctionIdentifier("array_sum_agg"),
+        new ExpressionInfo(classOf[ArraySumAgg].getName, "array_sum_agg"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1,
+            "array_sum_agg(arr) takes exactly 1 argument")
+          ArraySumAgg(children(0))
         }))
 
   def register(spark: SparkSession): Unit =

@@ -153,13 +153,16 @@ object Similarity {
     */
   def centroids(embeddings: DataFrame, vecCol: String, labelCol: String,
       roundTo: Int = 3): DataFrame = {
+    graft.expr.GraftFunctions.register(embeddings.sparkSession)
+    // element-wise array_sum_agg: dim doubles per (label, partition)
+    // through the shuffle, vs the posexplode form's n x dim rows
     embeddings
-      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
-      .groupBy(col(labelCol), col("pos"))
-      .agg(round(avg(col("v").cast("double")), roundTo).as("cv"))
       .groupBy(col(labelCol))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-        s => s.getField("cv")).as("centroid"))
+      .agg(call_function("array_sum_agg", col(vecCol)).as("__s"),
+        count(lit(1)).as("__n"))
+      .select(col(labelCol),
+        transform(col("__s"), x => round(x / col("__n"), roundTo))
+          .as("centroid"))
   }
 
   /** Deterministic k-means centroids for IVF cells: seed with the k
@@ -181,15 +184,15 @@ object Similarity {
       .select(col(idCol).as("c_label"),
         transform(col(vecCol), x => round(x.cast("double"), roundTo))
           .as("centroid"))
+    graft.expr.GraftFunctions.register(embeddings.sparkSession)
     val refined = (1 to iters).foldLeft(seeds) { (cents, _) =>
       centroidRanks(embeddings, vecCol, idCol, cents, 1)
-        .select(col("c_label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
-        .groupBy("c_label", "pos")
-        .agg(round(avg(col("v").cast("double")), roundTo).as("cv"))
         .groupBy("c_label")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("cv")))),
-          s => s.getField("cv")).as("centroid"))
+        .agg(call_function("array_sum_agg", col(vecCol)).as("__s"),
+          count(lit(1)).as("__n"))
+        .select(col("c_label"),
+          transform(col("__s"), x => round(x / col("__n"), roundTo))
+            .as("centroid"))
     }
     // materialize the <= k result rows into a LOCAL relation: consumers
     // (centroidRanks) collect the centroid table anyway, and a local

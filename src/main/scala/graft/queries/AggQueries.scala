@@ -39,19 +39,22 @@ object AggQueries {
     },
 
     // A3: column-wise mean of N vectors (extrinsic_calibration.py:72-73
-    // np.mean(rvecs_list, axis=0)) — posexplode by component, mean per
-    // position. The scale-correct form: no driver-side vectors.
+    // np.mean(rvecs_list, axis=0)) — element-wise array_sum_agg: the
+    // shuffle carries dim doubles per partition instead of the
+    // posexplode form's n x dim (pos, value) rows (the posexplode twin
+    // is pinned value-identical in AggsSpec).
     QueryDef("a3_columnwise_mean",
       """SELECT pos, round(avg(v), 6) AS mean_v FROM (
         |  SELECT generate_subscripts(embedding, 1) - 1 AS pos,
         |         CAST(unnest(embedding) AS DOUBLE) AS v
         |  FROM embeddings)
         |GROUP BY pos ORDER BY pos""") { (s, d) =>
+      graft.expr.GraftFunctions.register(s)
       T.embeddings(s, d)
-        .select(posexplode(col("embedding")).as(Seq("pos", "v0")))
-        .select(col("pos"), col("v0").cast("double").as("v"))
-        .groupBy("pos")
-        .agg(round(avg("v"), 6).as("mean_v"))
+        .agg(call_function("array_sum_agg", col("embedding")).as("s"),
+          count(lit(1)).as("n"))
+        .select(posexplode(transform(col("s"), x => round(x / col("n"), 6)))
+          .as(Seq("pos", "mean_v")))
         .orderBy("pos")
     },
 

@@ -313,6 +313,23 @@ class AggsSpec extends SparkSpec {
     assert(r.getLong(2) == 2L)
   }
 
+  test("array_sum_agg column-wise mean equals the posexplode form") {
+    graft.expr.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val viaAgg = emb
+      .agg(org.apache.spark.sql.functions.call_function(
+        "array_sum_agg", col("embedding")).as("s"), count(lit(1)).as("n"))
+      .select(posexplode(transform(col("s"), x => round(x / col("n"), 6)))
+        .as(Seq("pos", "mean_v")))
+    val viaExplode = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .select(col("pos"), col("v0").cast("double").as("v"))
+      .groupBy("pos")
+      .agg(round(avg("v"), 6).as("mean_v"))
+    assert(viaAgg.exceptAll(viaExplode).isEmpty &&
+      viaExplode.exceptAll(viaAgg).isEmpty)
+  }
+
   test("grandStatsScalable: sketch median tracks the exact median") {
     // 100k skewed values from the real error-like distribution shape
     val df = (1 to 100000).map(i => math.pow(i.toDouble / 1000, 1.7))
