@@ -52,6 +52,10 @@ case class ArraySumAgg(child: Expression,
     if (v == null) return buf
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // empty arrays are skipped EXPLICITLY: an empty buffer doubles as the
+    // uninitialized sentinel, so without this the behavior would depend
+    // on whether the empty row arrived before or after a non-empty one
+    if (n == 0) return buf
     val acc = if (buf.isEmpty) new Array[Double](n) else buf
     require(acc.length == n,
       s"array_sum_agg: inconsistent lengths ${acc.length} vs $n")

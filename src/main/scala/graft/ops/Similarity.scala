@@ -156,10 +156,13 @@ object Similarity {
     graft.expr.GraftFunctions.register(embeddings.sparkSession)
     // element-wise array_sum_agg: dim doubles per (label, partition)
     // through the shuffle, vs the posexplode form's n x dim rows
+    // count(vecCol), not count(*): array_sum_agg skips null vectors, so
+    // the denominator must too (matches the posexplode/avg twin, where
+    // exploding a null produced no rows)
     embeddings
       .groupBy(col(labelCol))
       .agg(call_function("array_sum_agg", col(vecCol)).as("__s"),
-        count(lit(1)).as("__n"))
+        count(col(vecCol)).as("__n"))
       .select(col(labelCol),
         transform(col("__s"), x => round(x / col("__n"), roundTo))
           .as("centroid"))
@@ -189,7 +192,7 @@ object Similarity {
       centroidRanks(embeddings, vecCol, idCol, cents, 1)
         .groupBy("c_label")
         .agg(call_function("array_sum_agg", col(vecCol)).as("__s"),
-          count(lit(1)).as("__n"))
+          count(col(vecCol)).as("__n"))
         .select(col("c_label"),
           transform(col("__s"), x => round(x / col("__n"), roundTo))
             .as("centroid"))

@@ -51,8 +51,10 @@ object AggQueries {
         |GROUP BY pos ORDER BY pos""") { (s, d) =>
       graft.expr.GraftFunctions.register(s)
       T.embeddings(s, d)
+        // count(embedding): null vectors are skipped by the sum, so they
+        // must not inflate the denominator (oracle's unnest drops them)
         .agg(call_function("array_sum_agg", col("embedding")).as("s"),
-          count(lit(1)).as("n"))
+          count(col("embedding")).as("n"))
         .select(posexplode(transform(col("s"), x => round(x / col("n"), 6)))
           .as(Seq("pos", "mean_v")))
         .orderBy("pos")

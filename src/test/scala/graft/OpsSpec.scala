@@ -330,6 +330,29 @@ class AggsSpec extends SparkSpec {
       viaExplode.exceptAll(viaAgg).isEmpty)
   }
 
+  test("array_sum_agg: null vectors and empty arrays are order-independent skips") {
+    graft.expr.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.call_function
+    def mean(rows: Seq[Option[Seq[Double]]]): Seq[Double] =
+      rows.toDF("v")
+        .agg(call_function("array_sum_agg", col("v")).as("s"),
+          count(col("v")).as("n"))
+        .select(transform(col("s"), x => x / col("n")).as("m"))
+        .as[Seq[Double]].collect()(0)
+    // a null vector must not inflate the denominator
+    assert(mean(Seq(Some(Seq(2.0, 4.0)), None)) == Seq(2.0, 4.0))
+    // empty arrays are skipped by the SUM in either arrival order (the
+    // buffer's empty state doubles as uninitialized — this pins that an
+    // early empty row doesn't wedge the buffer at length 0 and a late
+    // one doesn't throw)
+    def sum(rows: Seq[Seq[Double]]): Seq[Double] =
+      rows.toDF("v")
+        .agg(call_function("array_sum_agg", col("v")).as("s"))
+        .as[Seq[Double]].collect()(0)
+    assert(sum(Seq(Seq.empty, Seq(3.0))) == Seq(3.0))
+    assert(sum(Seq(Seq(3.0), Seq.empty)) == Seq(3.0))
+  }
+
   test("grandStatsScalable: sketch median tracks the exact median") {
     // 100k skewed values from the real error-like distribution shape
     val df = (1 to 100000).map(i => math.pow(i.toDouble / 1000, 1.7))
