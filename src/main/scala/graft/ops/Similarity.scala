@@ -182,30 +182,39 @@ object Similarity {
     */
   def kmeansCentroids(embeddings: DataFrame, vecCol: String, idCol: String,
       k: Int, iters: Int = 3, roundTo: Int = 3): DataFrame = {
-    val seeds = embeddings
+    graft.expr.GraftFunctions.register(embeddings.sparkSession)
+    // cache the vectors across the seed scan + Lloyd passes (the standard
+    // k-means shape — MLlib does the same): without it every iteration
+    // re-scans the source, which at 100 TB is `iters` extra full reads.
+    // Released before returning; the result below is already materialized
+    // locally.
+    val vecs = embeddings.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = vecs
       .orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("c_label"),
         transform(col(vecCol), x => round(x.cast("double"), roundTo))
           .as("centroid"))
-    graft.expr.GraftFunctions.register(embeddings.sparkSession)
-    val refined = (1 to iters).foldLeft(seeds) { (cents, _) =>
-      centroidRanks(embeddings, vecCol, idCol, cents, 1)
-        .groupBy("c_label")
-        .agg(call_function("array_sum_agg", col(vecCol)).as("__s"),
-          count(col(vecCol)).as("__n"))
-        .select(col("c_label"),
-          transform(col("__s"), x => round(x / col("__n"), roundTo))
-            .as("centroid"))
-    }
-    // materialize the <= k result rows into a LOCAL relation: consumers
-    // (centroidRanks) collect the centroid table anyway, and a local
-    // relation leaves nothing pinned in the executor cache — the old
-    // .cache() leaked one cached DF + Lloyd lineage per invocation in a
-    // long-lived session
-    val spark = embeddings.sparkSession
-    val rows = refined.collect()
-    spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), refined.schema)
+    try {
+      val refined = (1 to iters).foldLeft(seeds) { (cents, _) =>
+        centroidRanks(vecs, vecCol, idCol, cents, 1)
+          .groupBy("c_label")
+          .agg(call_function("array_sum_agg", col(vecCol)).as("__s"),
+            count(col(vecCol)).as("__n"))
+          .select(col("c_label"),
+            transform(col("__s"), x => round(x / col("__n"), roundTo))
+              .as("centroid"))
+      }
+      // materialize the <= k result rows into a LOCAL relation: consumers
+      // (centroidRanks) collect the centroid table anyway, and a local
+      // relation leaves nothing pinned in the executor cache — the old
+      // .cache() leaked one cached DF + Lloyd lineage per invocation in a
+      // long-lived session
+      val spark = embeddings.sparkSession
+      val rows = refined.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), refined.schema)
+    } finally vecs.unpersist(false)
   }
 
   // weak session keys: a stopped + GC'd session drops its whole index
