@@ -72,16 +72,21 @@ object DataPipeline {
     }
 
     if (!runner.isMaterialized("extrinsic")) {
-      val init = Extrinsic.initPnp(matched.cache(), k)
-      val (p, _) = Extrinsic.refine(matched, k, dist, init, maxIter)
-      val t = Extrinsic.paramsToT(p)
-      val stats = Extrinsic.reprojectionStats(matched, k, dist, t)
-      Sinks.matrixSink(spark, stateDir, "extrinsic", Map(
-        "extrinsic" -> t,
-        "rvec" -> p.take(3), "tvec" -> p.drop(3),
-        "stats" -> Seq(stats("mean_error"), stats("std_error"),
-          stats("max_error"), stats("min_error"), stats("median_error"),
-          stats("rmse"))))
+      // cached for the optimizer's repeated passes (each LM iteration
+      // aggregates over it), released once the stats are materialized
+      matched.cache()
+      try {
+        val init = Extrinsic.initPnp(matched, k)
+        val (p, _) = Extrinsic.refine(matched, k, dist, init, maxIter)
+        val t = Extrinsic.paramsToT(p)
+        val stats = Extrinsic.reprojectionStats(matched, k, dist, t)
+        Sinks.matrixSink(spark, stateDir, "extrinsic", Map(
+          "extrinsic" -> t,
+          "rvec" -> p.take(3), "tvec" -> p.drop(3),
+          "stats" -> Seq(stats("mean_error"), stats("std_error"),
+            stats("max_error"), stats("min_error"), stats("median_error"),
+            stats("rmse"))))
+      } finally matched.unpersist(false)
     }
     val extrinsic = Sinks.loadTable(spark, stateDir, "extrinsic")
 

@@ -53,6 +53,23 @@ object Sessionize {
         col("end_ts"): _*)
   }
 
+  /** Streaming exact dedup: drop re-delivered file events by
+    * (poseId, slot) within the watermark window — the exact-dedup
+    * operator of the batch pipeline (Dedup.exactDedup) made streaming.
+    * `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    * watermark passes it, so state is bounded by event-time skew rather
+    * than growing with the stream (the plain dropDuplicates would).
+    */
+  def dedupedEvents(events: Dataset[FileEvent],
+      withinSeconds: Long = 60): Dataset[FileEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", s"$withinSeconds seconds")
+      .dropDuplicatesWithinWatermark("poseId", "slot")
+      .as[FileEvent]
+  }
+
   /** Count-based group assembly: emit each pose's group as soon as
     * `groupSize` files arrived; flush incomplete groups when the event
     * time watermark passes last-event + `gapSeconds` (mirrors the 12 s

@@ -85,6 +85,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[FileEvent]
+    val q = Sessionize.dedupedEvents(input.toDS(), withinSeconds = 60)
+      .writeStream
+      .format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // slot 1 delivered three times (same key, retried upload)
+      input.addData(Seq(ev("7", 0, 100), ev("7", 1, 101),
+        ev("7", 1, 101), ev("7", 1, 102)))
+      q.processAllAvailable()
+      val rows = spark.table("deduped").as[FileEvent].collect()
+      assert(rows.length == 2, s"expected 2 unique events, got ${rows.toSeq}")
+      assert(rows.map(e => (e.poseId, e.slot)).toSet ==
+        Set(("7", 0), ("7", 1)))
+    } finally q.stop()
+  }
+
   test("HDR merge runs as a foreachBatch stage over completed groups") {
     // §2.10 sink side: each completed 5-exposure group is merged to HDR
     // radiance inside foreachBatch — the external hdrgen stage
