@@ -107,6 +107,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x17/t5/a3: round-5 plan shapes hold (no window; custom aggregates)") {
+    val x17 = plan("x17_hdr_merge")
+    assert(!x17.contains("Window"),
+      s"x17 slot assignment went back to a window:\n${x17.take(800)}")
+    val t5 = plan("t5_chargram_stats")
+    assert(t5.contains("chargram_distinct") && !t5.contains("array_distinct"),
+      s"t5 not using the codegen'd distinct counter:\n${t5.take(800)}")
+    val a3 = plan("a3_columnwise_mean")
+    assert(a3.contains("array_sum_agg"),
+      s"a3 not using the element-wise sum aggregate:\n${a3.take(800)}")
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     import spark.implicits._
     val left = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "a")
