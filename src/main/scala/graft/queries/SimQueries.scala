@@ -100,10 +100,76 @@ object SimQueries {
 
     // IVF pruned top-k over k-means cells: probe the 8 nearest of 25
     // cells per query (~32% of candidates scanned), rank only their
-    // members. No SQL oracle (rows-only check); recall@10 >= 0.9 vs brute
-    // force is pinned in the test suite. This is the plan that survives
-    // 100 TB: broadcast centroids + one shuffle on cell id.
-    QueryDef.noOracle("sim3_ivf_topk") { (s, d) =>
+    // members. This is the plan that survives 100 TB: broadcast
+    // centroids + one shuffle on cell id; recall@10 >= 0.9 vs brute
+    // force is additionally pinned in the test suite.
+    //
+    // The oracle unrolls the THREE deterministic Lloyd iterations in SQL
+    // (seeds = 25 lowest ids rounded to 3; assignment = argmin of
+    // round(L2^2, 6) with label tie-break; means re-rounded to 3) and
+    // then the probe-8/top-10 ranking — exact hash-match is possible
+    // because every engine-sensitive float was quantized by design.
+    QueryDef("sim3_ivf_topk",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id AS c_label, list_transform(v, x -> round(x, 3)) AS c
+        |  FROM e ORDER BY vec_id LIMIT 25),
+        |a1 AS (
+        |  SELECT e.vec_id, e.v, c.c_label
+        |  FROM e CROSS JOIN seeds c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6), c.c_label) = 1),
+        |m1 AS (
+        |  SELECT a.c_label, pos, round(avg(a.v[pos]), 3) AS cv
+        |  FROM a1 a CROSS JOIN (SELECT unnest(range(1, 65)) AS pos)
+        |  GROUP BY a.c_label, pos),
+        |c1 AS (SELECT c_label, list(cv ORDER BY pos) AS c FROM m1 GROUP BY c_label),
+        |a2 AS (
+        |  SELECT e.vec_id, e.v, c.c_label
+        |  FROM e CROSS JOIN c1 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6), c.c_label) = 1),
+        |m2 AS (
+        |  SELECT a.c_label, pos, round(avg(a.v[pos]), 3) AS cv
+        |  FROM a2 a CROSS JOIN (SELECT unnest(range(1, 65)) AS pos)
+        |  GROUP BY a.c_label, pos),
+        |c2 AS (SELECT c_label, list(cv ORDER BY pos) AS c FROM m2 GROUP BY c_label),
+        |a3 AS (
+        |  SELECT e.vec_id, e.v, c.c_label
+        |  FROM e CROSS JOIN c2 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6), c.c_label) = 1),
+        |m3 AS (
+        |  SELECT a.c_label, pos, round(avg(a.v[pos]), 3) AS cv
+        |  FROM a3 a CROSS JOIN (SELECT unnest(range(1, 65)) AS pos)
+        |  GROUP BY a.c_label, pos),
+        |c3 AS (SELECT c_label, list(cv ORDER BY pos) AS c FROM m3 GROUP BY c_label),
+        |cand AS (
+        |  SELECT e.vec_id AS c_id, e.v AS cv, c.c_label AS cell
+        |  FROM e CROSS JOIN c3 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6), c.c_label) = 1),
+        |probes AS (
+        |  SELECT q.vec_id AS q_id, q.v AS qv, c.c_label AS cell
+        |  FROM (SELECT vec_id, v FROM e WHERE vec_id < 5) q
+        |  CROSS JOIN c3 c
+        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY round(list_sum(list_transform(range(1, 65), i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i]))), 6), c.c_label) <= 8),
+        |scored AS (
+        |  SELECT p.q_id, cand.c_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65), i -> p.qv[i] * cand.cv[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), i -> p.qv[i] * p.qv[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> cand.cv[i] * cand.cv[i])))),
+        |      6) AS sim
+        |  FROM probes p JOIN cand ON cand.cell = p.cell)
+        |SELECT q_id, CAST(rk AS BIGINT) AS rank, c_id, sim FROM (
+        |  SELECT q_id, c_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk
+        |  FROM scored)
+        |WHERE rk <= 10 ORDER BY q_id, rank""") { (s, d) =>
       val emb = T.embeddings(s, d)
       // index BUILD is memoized per corpus dir (kmeansIndex): the Lloyd
       // passes run once per JVM, queries only probe the prebuilt cells
