@@ -45,7 +45,27 @@ object Bench {
     // several seconds of one-time startup in its reported time
     spark.range(1000).selectExpr("sum(id)").collect()
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Index BUILD timed as its own line: a real system separates the
+    // one-off IVF index build from the queries it serves. sim3's
+    // kmeansIndex is memoized per corpus, so pre-warming it here (with
+    // sim3's exact parameters) makes the sim3 line below measure the
+    // probe path only, and `sim3_index_build` carries the Lloyd passes.
+    val idx0 = System.nanoTime()
+    val idxOk =
+      try {
+        graft.ops.Similarity.kmeansIndex(
+          graft.ops.Tables.embeddings(spark, sfDir), "embedding", "vec_id",
+          25, cacheKey = sfDir)
+        true
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] sim3_index_build FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          failed ::= "sim3_index_build"
+          false
+      }
+    val idxLine = "sim3_index_build" ->
+      (if (idxOk) (System.nanoTime() - idx0) / 1e9 else -1.0)
+    val results = (SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -56,7 +76,7 @@ object Bench {
             false
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+    }) :+ idxLine
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

@@ -103,6 +103,31 @@ object GraftFunctions {
           TopKBySim(children(0), children(1), children(2))
         }),
       (
+        // Spark's own bounded top-k collector (CollectTopK, the aggregate
+        // behind ml's collect_top_k): with reverse=true it keeps the n
+        // SMALLEST values in an O(n) buffer that partial-aggregates
+        // map-side, and eval returns them sorted ascending — decision-
+        // identical to slice(array_sort(collect_list(e)), 1, n) without
+        // ever buffering a whole group. Registered here because the SQL
+        // surface only exposes it to ml internals.
+        FunctionIdentifier("collect_smallest_n"),
+        new ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK].getName,
+          "collect_smallest_n"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            "collect_smallest_n(e, n) takes exactly 2 arguments")
+          val n = children(1) match {
+            case e if e.foldable && e.eval() != null =>
+              e.eval().asInstanceOf[Number].intValue()
+            case _ => throw new IllegalArgumentException(
+              "collect_smallest_n: n must be a constant integer")
+          }
+          require(n > 0, "collect_smallest_n: n must be positive")
+          new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
+            children(0), n, true, 0, 0)
+        }),
+      (
         FunctionIdentifier("winnow_fp"),
         new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
         (children: Seq[Expression]) => {

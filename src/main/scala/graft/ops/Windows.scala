@@ -98,7 +98,14 @@ object Windows {
 
   /** gapSessions on top of the scale-safe numbering — identical output to
     * the window-based form (asserted in the test suite), no global-window
-    * single task.
+    * single task ANYWHERE in the plan: the lead() that the faithful form
+    * uses to pair each group with its successor is replaced by a
+    * `grp = grp + 1` self-join (group ids are dense by construction —
+    * rn0 div groupSize — so "next group" IS grp+1), which shuffles on grp
+    * instead of funnelling every group row through one ordered-window
+    * task. The filter requires the successor to be a FULL group, so the
+    * inner join dropping the last (successor-less) group is exactly the
+    * lead-is-null case the faithful form filters out.
     */
   def gapSessionsScalable(df: DataFrame, orderCol: String, tsNanosCol: String,
       groupSize: Int = 5, gapSeconds: Long = 12): DataFrame = {
@@ -110,10 +117,9 @@ object Windows {
         min(col(tsNanosCol)).as("start_ns"),
         max(col(tsNanosCol)).as("end_ns"),
         count(lit(1)).as("n"))
-    val w = Window.orderBy(col("grp"))
-    grouped
-      .withColumn("next_start_ns", lead(col("start_ns"), 1).over(w))
-      .withColumn("next_n", lead(col("n"), 1).over(w))
+    val next = grouped.select((col("grp") - 1).as("grp"),
+      col("start_ns").as("next_start_ns"), col("n").as("next_n"))
+    grouped.join(next, Seq("grp"))
       .withColumn("gap_ns", col("next_start_ns") - col("end_ns"))
       .filter(col("n") === groupSize && col("next_n") === groupSize &&
         col("gap_ns") > gapSeconds * 1000000000L)

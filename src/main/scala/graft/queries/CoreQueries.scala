@@ -14,28 +14,48 @@ object CoreQueries {
   def defs: Seq[QueryDef] = Seq(
 
     // S1: distributed directory scan with path+length (camera_calib.py:46,
-    // point3d_transformation.py:19-23). No oracle: DuckDB can't list files
-    // from a fixed SQL string; driver records rows-only.
-    QueryDef.noOracle("s1_binary_scan") { (s, d) =>
+    // point3d_transformation.py:19-23). Oracle: DuckDB read_blob over the
+    // same directory — the literal dir is spliced in for `{SF_DIR}` by
+    // Verify at dump time (table functions only take constant args).
+    QueryDef("s1_binary_scan",
+      """SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+        |  size AS length
+        |FROM read_blob('{SF_DIR}/*.parquet') ORDER BY file""") { (s, d) =>
       Sources.binaryScan(s, d)
         .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
           col("length"))
         .orderBy("file")
     },
 
-    // S2: glob-filtered scan (act_img.py:267-268 "*_0*.JPG"). Rows-only.
-    QueryDef.noOracle("s2_glob_scan") { (s, d) =>
+    // S2: glob-filtered scan (act_img.py:267-268 "*_0*.JPG"); the same
+    // glob drives both the Spark pathGlobFilter and the DuckDB pattern.
+    QueryDef("s2_glob_scan",
+      """SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+        |  size AS length
+        |FROM read_blob('{SF_DIR}/*e*.parquet') ORDER BY file""") { (s, d) =>
       Sources.binaryScan(s, d, Some("*e*.parquet"))
         .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
           col("length"))
         .orderBy("file")
     },
 
-    // S3 (plumbing): expression-only binary metadata — length, magic,
-    // content md5 — over a binaryFile scan (Multimodal.binaryMeta; the
-    // decode itself is the documented stub). Rows-only check.
-    QueryDef.noOracle("s3_binary_meta") { (s, d) =>
-      graft.ops.Multimodal.binaryMeta(Sources.binaryScan(s, d))
+    // S3 (plumbing): expression-only binary metadata over a binaryFile
+    // scan — length, magic bytes, full-content checksum — the content
+    // column flows through codegen'd expressions only (the decode itself
+    // is the documented stub, Multimodal/Codecs). DuckDB 1.0 has no
+    // md5(BLOB), so both engines checksum the hex encoding: byte-exact
+    // content equality either way.
+    QueryDef("s3_binary_meta",
+      """SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+        |  size AS length,
+        |  substring(hex(content), 1, 8) AS magic_hex,
+        |  md5(hex(content)) AS content_md5
+        |FROM read_blob('{SF_DIR}/*.parquet') ORDER BY file""") { (s, d) =>
+      Sources.binaryScan(s, d)
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+          col("length"),
+          substring(hex(col("content")), 1, 8).as("magic_hex"),
+          md5(hex(col("content"))).as("content_md5"))
         .orderBy("file")
     },
 

@@ -359,11 +359,15 @@ object GeoQueries {
         |  round(sum(greatest(0.001, 1 - abs(2*z - 1)) * z / t)
         |      / sum(greatest(0.001, 1 - abs(2*z - 1))), 6) AS radiance
         |FROM chan GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+      graft.expr.GraftFunctions.register(s)
       val bracket = array(graft.ops.Hdr.ExposureBracket.map(lit): _*)
-      // slot assignment without a window: per-key sorted top-5 via
-      // groupBy + array_sort + slice (no global sort pass), then
-      // posexplode re-ranks; the downstream mergeGroups groupBy reuses
-      // the same hash partitioning, so the whole query is ONE exchange.
+      // slot assignment without a window: per-key smallest-5 via the
+      // BOUNDED collect_smallest_n aggregate (Spark's CollectTopK,
+      // reverse=true) — an O(5) buffer that partial-aggregates map-side,
+      // never collecting a whole key's rows the way
+      // slice(array_sort(collect_list)) did; then posexplode re-ranks and
+      // the downstream mergeGroups groupBy reuses the same hash
+      // partitioning, so the whole query is ONE exchange.
       // l_linenumber alone is NOT unique per orderkey in the synthetic
       // data — partkey/suppkey break the tie for a total slot order.
       val five = T.lineitem(s, d)
@@ -372,7 +376,7 @@ object GeoQueries {
           (col("l_quantity") / 50.0).as("z0"),
           (col("l_discount") * 10.0).as("z1")).as("r"))
         .groupBy("l_orderkey")
-        .agg(slice(array_sort(collect_list(col("r"))), 1, 5).as("e5"))
+        .agg(call_function("collect_smallest_n", col("r"), lit(5)).as("e5"))
         .filter(size(col("e5")) === 5)
         .select(col("l_orderkey"), posexplode(col("e5")).as(Seq("s0", "e")))
         .select(col("l_orderkey"),

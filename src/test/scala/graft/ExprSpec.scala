@@ -53,6 +53,33 @@ class ExprSpec extends SparkSpec {
       s"NaN similarity must rank first (Double.compare order), got $top")
   }
 
+  test("collect_smallest_n equals slice(array_sort(collect_list), 1, n)") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // struct payloads with deliberate first-field ties so the ordering
+    // must fall through to later fields, across many partitions so
+    // partial-buffer merges happen
+    val df = (0L until 300L)
+      .map(i => (i % 7, (i % 5).toInt, i, i * 0.25))
+      .toDF("g", "a", "b", "z").repartition(11)
+      .select(col("g"), struct(col("a"), col("b"), col("z")).as("r"))
+    val viaBounded = df.groupBy("g")
+      .agg(call_function("collect_smallest_n", col("r"), lit(5)).as("e5"))
+    val viaCollectAll = df.groupBy("g")
+      .agg(slice(array_sort(collect_list(col("r"))), 1, 5).as("e5"))
+    assert(viaBounded.exceptAll(viaCollectAll).isEmpty &&
+      viaCollectAll.exceptAll(viaBounded).isEmpty,
+      "bounded smallest-n disagrees with the collect-all form")
+    // groups smaller than n return the whole group, sorted
+    val small = Seq((1L, 3), (1L, 1)).toDF("g", "a")
+      .select(col("g"), struct(col("a")).as("r"))
+      .groupBy("g")
+      .agg(call_function("collect_smallest_n", col("r"), lit(5)).as("e5"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](1).map(_.getInt(0))
+    assert(small == Seq(1, 3))
+  }
+
   test("winnow_fp twin equality holds for non-BMP (astral) characters") {
     GraftFunctions.register(spark)
     import org.apache.spark.sql.functions._

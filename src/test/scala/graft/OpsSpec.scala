@@ -64,6 +64,11 @@ class WindowsSpec extends SparkSpec {
     val b = Windows.gapSessionsScalable(ev, "event_id", "ts")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
     assert(a.count() > 0, "sf0.001 should contain gaps at 12s threshold")
+    // the twin exists to avoid single-task windows — its whole plan
+    // (numbering AND the next-group pairing) must be window-free
+    val p = b.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"scale twin reintroduced a window:\n${p.take(1200)}")
   }
 
   test("withGlobalRowNumbers equals window row_number") {
@@ -123,6 +128,53 @@ class DedupSpec extends SparkSpec {
 }
 
 class SimilaritySpec extends SparkSpec {
+
+  test("kmeansIndex cache is session-free, cross-session, and bounded") {
+    // regression for the WeakHashMap-with-DataFrame-values cache, whose
+    // value→key strong reference pinned every session that ever built an
+    // index AND whose per-session keying rebuilt the index for each new
+    // session. The cache now stores plain rows+schema keyed by corpus:
+    // (a) a SECOND session must hit the first session's entry with ZERO
+    // rebuilds — impossible if the cached value were session-bound;
+    // (b) the LRU bound must really evict.
+    // (A direct WeakReference-after-GC proof is not possible in local
+    // mode: Spark pins every session that ran a job via executor-thread
+    // InheritableThreadLocals, independent of this cache.)
+    import org.apache.spark.sql.functions._
+    def emb(s: org.apache.spark.sql.SparkSession) = s.range(0, 40)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(7)),
+          j => (col("id") + j).cast("float")).as("embedding"))
+    val S = graft.ops.Similarity
+    S.clearIndexCache()
+    val saveMax = S.maxCachedIndexes
+    try {
+      S.maxCachedIndexes = 2
+      val b0 = S.indexBuildCount.get()
+      val s2 = spark.newSession()
+      val first = S.kmeansIndex(emb(s2), "embedding", "vec_id", 2,
+        cacheKey = "gc-a")
+      assert(first.count() == 2)
+      assert(S.indexBuildCount.get() == b0 + 1)
+      // different session, same corpus key: served from cache, no rebuild
+      val again = S.kmeansIndex(emb(spark), "embedding", "vec_id", 2,
+        cacheKey = "gc-a")
+      assert(again.sparkSession eq spark)
+      assert(again.count() == 2)
+      assert(S.indexBuildCount.get() == b0 + 1,
+        "cross-session call rebuilt: cached value is session-bound")
+      // LRU bound: two more corpora evict gc-a; re-asking rebuilds
+      S.kmeansIndex(emb(spark), "embedding", "vec_id", 2, cacheKey = "gc-b")
+      S.kmeansIndex(emb(spark), "embedding", "vec_id", 2, cacheKey = "gc-c")
+      assert(S.indexBuildCount.get() == b0 + 3)
+      S.kmeansIndex(emb(spark), "embedding", "vec_id", 2, cacheKey = "gc-a")
+      assert(S.indexBuildCount.get() == b0 + 4,
+        "evicted entry served stale: LRU bound not enforced")
+    } finally {
+      S.maxCachedIndexes = saveMax
+      S.clearIndexCache()
+    }
+  }
 
   test("IVF recall@10 >= 0.9 vs brute force on sf0.01 embeddings") {
     val emb = Tables.embeddings(spark, sf("sf0.01"))

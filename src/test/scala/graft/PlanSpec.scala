@@ -111,6 +111,16 @@ class PlanSpec extends SparkSpec {
     val x17 = plan("x17_hdr_merge")
     assert(!x17.contains("Window"),
       s"x17 slot assignment went back to a window:\n${x17.take(800)}")
+    // slot assignment must be the bounded smallest-n aggregate with a
+    // map-side partial — not collect_list over a whole key. (mergeGroups
+    // further downstream still collect_lists, but only over the ≤5
+    // already-sliced slot rows per key — bounded by construction.)
+    assert(x17.contains("partial_collect_top_k"),
+      s"x17 slot assignment not a bounded partial aggregate:\n${x17.take(800)}")
+    assert(x17.indexOf("collect_top_k") > 0 &&
+      x17.indexOf("collect_list") < x17.indexOf("collect_top_k") ||
+      !x17.substring(x17.indexOf("collect_top_k")).contains("collect_list"),
+      s"collect_list feeds the slot assignment:\n${x17.take(800)}")
     val t5 = plan("t5_chargram_stats")
     assert(t5.contains("chargram_distinct") && !t5.contains("array_distinct"),
       s"t5 not using the codegen'd distinct counter:\n${t5.take(800)}")
