@@ -15,10 +15,12 @@ object BenchOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", String.valueOf(16L << 20))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt.max(1)
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
@@ -27,10 +29,15 @@ object BenchOne {
       // time construction + execution, like graft.Bench: query functions
       // may do eager driver-side work (e.g. collecting tiny centroid
       // tables) that belongs in the reported time
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench-one] $name%-28s $sec%8.2f s  ($n rows)")
+      val walls = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val med = walls.map(_._1).sorted.apply(walls.size / 2)
+      val all = walls.map(w => f"${w._1}%.2f").mkString(" ")
+      System.err.println(
+        f"[bench-one] $name%-28s median $med%8.2f s of [$all]  (${walls.head._2} rows)")
     }
     spark.stop()
   }

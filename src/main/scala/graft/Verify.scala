@@ -38,8 +38,11 @@ object Verify {
     // DuckDB table functions (read_blob), whose args must be constants, so
     // the dir is spliced into the dumped SQL here rather than discovered
     // at query time.
+    // sfDir lands inside single-quoted SQL string literals — double any
+    // single quote so a quoted path cannot break the oracle SQL
+    val sqlDir = sfDir.replace("'", "''")
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SF_DIR}", sfDir))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SF_DIR}", sqlDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -100,4 +100,64 @@ object Multimodal {
       m.copy(width = targetW, height = (m.height * scale).toInt)
     }
   }
+
+  /** Stub inference output: one row per input pose, carrying the generated
+    * image's geometry and a deterministic content summary (a full 640x640
+    * float tensor per row would be payload, not plumbing).
+    */
+  case class InferredImage(id: Long, width: Int, height: Int, mean: Double)
+
+  /** Broadcast-weights + mapPartitions batch inference — the Spark shape
+    * for the reference's VectorToImage generator (train.py:5-70: 6-dim
+    * pose vector -> (1, 640, 640) image; model-only in the reference, it
+    * never ran). The MODEL here is a deterministic stub (one seeded dense
+    * layer + sigmoid standing in for the torch stack, which this
+    * container lacks); the dataflow is the real thing batch inference
+    * needs on a cluster:
+    *
+    *   - weights ship ONCE per executor via a broadcast variable, not
+    *     per task and never per row;
+    *   - the model is materialized from the broadcast once per PARTITION
+    *     (the `bw.value` + init inside mapPartitions but outside the row
+    *     loop — with torch this is where the module would be rebuilt and
+    *     moved to the device);
+    *   - rows then stream through the resident model.
+    *
+    * `initCounter`, when supplied, is bumped once per partition-level
+    * model init — the test seam proving per-partition (not per-row) init.
+    */
+  def inferStub(poses: DataFrame, idCol: String, vecCols: Seq[String],
+      outputSize: Int = 640, hidden: Int = 32,
+      initCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[InferredImage] = {
+    val spark = poses.sparkSession
+    import spark.implicits._
+    val d = vecCols.length
+    // seeded stand-in for a trained checkpoint loaded driver-side
+    val weights = Array.tabulate(hidden, d) { (i, j) =>
+      val h = (i * 1315423911L + j * 2654435761L) & 0x7fffffffL
+      h.toDouble / Int.MaxValue - 0.5
+    }
+    val bw = spark.sparkContext.broadcast(weights)
+    val out = outputSize
+    val rows = poses.select(col(idCol).cast("long").as("id"),
+      array(vecCols.map(c => col(c).cast("double")): _*).as("v"))
+      .as[(Long, Seq[Double])]
+    rows.mapPartitions { it =>
+      val w = bw.value // one model materialization per partition
+      initCounter.foreach(_.add(1))
+      it.map { case (id, v) =>
+        var sum = 0.0
+        var i = 0
+        while (i < w.length) {
+          var acc = 0.0
+          var j = 0
+          while (j < d) { acc += w(i)(j) * v(j); j += 1 }
+          sum += 1.0 / (1.0 + math.exp(-acc)) // sigmoid head (train.py:60)
+          i += 1
+        }
+        InferredImage(id, out, out, sum / w.length)
+      }
+    }
+  }
 }

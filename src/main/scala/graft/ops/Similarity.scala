@@ -239,14 +239,28 @@ object Similarity {
 
   /** Memoized IVF index build — the pipeline-stage separation a real
     * system has between index BUILD and query: the k-means centroid table
-    * for a given (cacheKey, vecCol, k, iters) is computed once per JVM and
-    * reused by every subsequent query (any session — the cached value is
-    * session-free data), so repeated searches stop paying the Lloyd
-    * passes. cacheKey should identify the corpus (e.g. its directory).
+    * for a given (cacheKey, vecCol, idCol, k, iters, corpus fingerprint)
+    * is computed once per JVM and reused by every subsequent query (any
+    * session — the cached value is session-free data), so repeated
+    * searches stop paying the Lloyd passes. cacheKey should identify the
+    * corpus (e.g. its directory).
+    *
+    * idCol participates in the key because seeding takes the k LOWEST-id
+    * vectors — a different id column is a different index. The key also
+    * folds in the input's file listing (count + hash of sorted names, a
+    * driver-side metadata call): data rewritten under the same path gets
+    * fresh part-file names, so the stale entry is orphaned instead of
+    * served for the JVM's lifetime. Limits: a non-file source (in-memory
+    * relation) has no listing, and an IN-PLACE byte mutation of an
+    * existing file keeps its name — callers doing either over changing
+    * data must `clearIndexCache()` themselves.
     */
   def kmeansIndex(embeddings: DataFrame, vecCol: String, idCol: String,
       k: Int, cacheKey: String, iters: Int = 3): DataFrame = {
-    val key = s"$cacheKey|$vecCol|$k|$iters"
+    val files = embeddings.inputFiles
+    val fp = files.sorted.foldLeft(0xcbf29ce484222325L)((h, f) =>
+      f.foldLeft(h)((a, c) => (a ^ c) * 0x100000001b3L)) // FNV-1a over paths
+    val key = s"$cacheKey|$vecCol|$idCol|$k|$iters|${files.length}|$fp"
     val cached = indexCache.synchronized { Option(indexCache.get(key)) }
     val (rows, schema) = cached.getOrElse {
       indexBuildCount.incrementAndGet()

@@ -106,6 +106,14 @@ object Windows {
     * task. The filter requires the successor to be a FULL group, so the
     * inner join dropping the last (successor-less) group is exactly the
     * lead-is-null case the faithful form filters out.
+    *
+    * Deliberate tradeoff: both join sides re-run the groupBy from the
+    * PERSISTED sorted RDD (withGlobalRowNumbers caches it), so the scan
+    * and range sort — the costs that matter at 100 TB — are paid once;
+    * the duplicated work is one extra map-side-partial aggregation pass
+    * over in-memory blocks yielding n/groupSize rows. Persisting the
+    * tiny `grouped` DF instead would pin an entry in the session
+    * CacheManager with no safe release point for a library function.
     */
   def gapSessionsScalable(df: DataFrame, orderCol: String, tsNanosCol: String,
       groupSize: Int = 5, gapSeconds: Long = 12): DataFrame = {

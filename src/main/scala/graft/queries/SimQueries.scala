@@ -11,6 +11,19 @@ import graft.ops.{Similarity => S, Tables => T}
   */
 object SimQueries {
 
+  /** sim3's IVF index build, ONE definition site: the query body below and
+    * Bench's pre-warm (which separates the `sim3_index_build` line from the
+    * probe-only `sim3_ivf_topk` line) call THIS, so the memoized-index key
+    * can never silently drift between them — a drifted literal would make
+    * the pre-warm miss and sim3's line silently re-absorb the Lloyd build.
+    */
+  val Sim3IndexK = 25
+  val Sim3IndexIters = 3
+  def sim3Index(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    S.kmeansIndex(T.embeddings(s, d), "embedding", "vec_id", Sim3IndexK,
+      cacheKey = d, iters = Sim3IndexIters)
+
   def defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-k (baseline / oracle; the query side must be
@@ -173,7 +186,7 @@ object SimQueries {
       val emb = T.embeddings(s, d)
       // index BUILD is memoized per corpus dir (kmeansIndex): the Lloyd
       // passes run once per JVM, queries only probe the prebuilt cells
-      val cents = S.kmeansIndex(emb, "embedding", "vec_id", 25, cacheKey = d)
+      val cents = sim3Index(s, d)
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val c = emb

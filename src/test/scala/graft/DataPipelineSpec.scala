@@ -105,4 +105,27 @@ class DataPipelineSpec extends SparkSpec {
     val m = Multimodal.resizeMeta(df, targetW = 64).collect()(0)
     assert(m.width == 64 && m.height == 48) // 4:3 stub geometry preserved
   }
+
+  test("inferStub: broadcast weights, per-PARTITION model init, 640x640 out") {
+    // train.py:5-70's VectorToImage shape: 6-dim pose -> (1,640,640)
+    import spark.implicits._
+    val poses = spark.range(0, 1000).repartition(8)
+      .select(col("id"),
+        expr("CAST(id AS DOUBLE)").as("x"), expr("CAST(id*2 AS DOUBLE)").as("y"),
+        expr("CAST(id*3 AS DOUBLE)").as("z"), lit(0.1).as("a"),
+        lit(0.2).as("b"), lit(0.3).as("c"))
+    val inits = spark.sparkContext.longAccumulator("inferInits")
+    val out = Multimodal.inferStub(poses, "id",
+      Seq("x", "y", "z", "a", "b", "c"), initCounter = Some(inits)).collect()
+    assert(out.length == 1000)
+    assert(out.forall(r => r.width == 640 && r.height == 640))
+    assert(out.forall(r => r.mean > 0.0 && r.mean < 1.0), "sigmoid range")
+    // the model materializes once per partition, never per row
+    assert(inits.value == 8, s"expected 8 partition inits, got ${inits.value}")
+    // deterministic: same weights, same input, same output
+    val again = Multimodal.inferStub(poses, "id",
+      Seq("x", "y", "z", "a", "b", "c")).collect()
+    assert(out.sortBy(_.id).map(_.mean).toSeq ==
+      again.sortBy(_.id).map(_.mean).toSeq)
+  }
 }

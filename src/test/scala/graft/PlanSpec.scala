@@ -117,9 +117,10 @@ class PlanSpec extends SparkSpec {
     // already-sliced slot rows per key — bounded by construction.)
     assert(x17.contains("partial_collect_top_k"),
       s"x17 slot assignment not a bounded partial aggregate:\n${x17.take(800)}")
-    assert(x17.indexOf("collect_top_k") > 0 &&
-      x17.indexOf("collect_list") < x17.indexOf("collect_top_k") ||
-      !x17.substring(x17.indexOf("collect_top_k")).contains("collect_list"),
+    // anything printed after the partial collect_top_k line is its input
+    // subtree; mergeGroups' own (bounded) collect_list prints BEFORE it,
+    // so a collect_list in the suffix means one feeds the slot assignment
+    assert(!x17.substring(x17.indexOf("collect_top_k")).contains("collect_list"),
       s"collect_list feeds the slot assignment:\n${x17.take(800)}")
     val t5 = plan("t5_chargram_stats")
     assert(t5.contains("chargram_distinct") && !t5.contains("array_distinct"),
