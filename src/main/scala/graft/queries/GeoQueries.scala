@@ -365,9 +365,13 @@ object GeoQueries {
       // BOUNDED collect_smallest_n aggregate (Spark's CollectTopK,
       // reverse=true) — an O(5) buffer that partial-aggregates map-side,
       // never collecting a whole key's rows the way
-      // slice(array_sort(collect_list)) did; then posexplode re-ranks and
-      // the downstream mergeGroups groupBy reuses the same hash
-      // partitioning, so the whole query is ONE exchange.
+      // slice(array_sort(collect_list)) did; then posexplode re-ranks.
+      // The merge itself (Hdr.mergeExploded) is a plain codegen'd
+      // sum/sum hash aggregate on (l_orderkey, channel), which the
+      // collect_smallest_n stage's hashpartitioning(l_orderkey) already
+      // satisfies — the whole query is ONE exchange and every per-pixel
+      // op stays inside whole-stage codegen (the r8 interpreted-HOF fold
+      // was 6.7x the oracle at sf1; this is the oracle's own long form).
       // l_linenumber alone is NOT unique per orderkey in the synthetic
       // data — partkey/suppkey break the tie for a total slot order.
       val five = T.lineitem(s, d)
@@ -380,12 +384,9 @@ object GeoQueries {
         .filter(size(col("e5")) === 5)
         .select(col("l_orderkey"), posexplode(col("e5")).as(Seq("s0", "e")))
         .select(col("l_orderkey"),
-          (col("s0") + 1).as("slot"),
           element_at(bracket, col("s0") + 1).as("t"),
           array(col("e.z0"), col("e.z1")).as("px"))
-      graft.ops.Hdr.mergeGroups(five, "l_orderkey", "slot", "t", "px")
-        .select(col("l_orderkey"),
-          posexplode(col("radiance")).as(Seq("channel", "radiance")))
+      graft.ops.Hdr.mergeExploded(five, "l_orderkey", "t", "px")
         .select(col("l_orderkey"), col("channel"),
           round(col("radiance"), 6).as("radiance"))
         .orderBy("l_orderkey", "channel")

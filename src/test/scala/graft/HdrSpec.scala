@@ -68,7 +68,7 @@ class HdrSpec extends SparkSpec {
     assert(math.abs(r - exp) < 1e-9, s"$r vs $exp")
   }
 
-  test("merge is unaffected by input row order (sort_array pins the bracket)") {
+  test("merge is unaffected by input row order (weighted mean commutes)") {
     import spark.implicits._
     val zs = Seq(0.5, 0.25, 0.4, 0.7, 0.9)
     val fwd = zs.zipWithIndex.map { case (z, i) => ("g", i + 1, bracket(i), Seq(z)) }
@@ -77,6 +77,30 @@ class HdrSpec extends SparkSpec {
       Hdr.mergeGroups(rows.toDF("gid", "slot", "t", "px"),
         "gid", "slot", "t", "px")
         .collect()(0).getAs[scala.collection.Seq[Double]]("radiance")(0)
-    assert(merge(fwd) == merge(rev))
+    // plain-sum accumulation order may differ per physical row order, so
+    // compare to FP tolerance rather than bit-exactly
+    assert(math.abs(merge(fwd) - merge(rev)) < 1e-12)
+  }
+
+  test("mergeExploded emits one (group, channel) row per pixel") {
+    import spark.implicits._
+    val zs = Seq(
+      Seq(0.50, 0.10),
+      Seq(0.25, 0.02),
+      Seq(0.40, 0.05),
+      Seq(0.70, 0.20),
+      Seq(0.90, 0.35))
+    val rows = zs.zipWithIndex.map { case (px, i) =>
+      ("g1", i + 1, bracket(i), px)
+    }
+    val out = Hdr.mergeExploded(rows.toDF("gid", "slot", "t", "px"),
+        "gid", "t", "px")
+      .orderBy("channel").collect()
+    assert(out.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("g1", 0), ("g1", 1)))
+    val exp = expected(zs)
+    out.zip(exp).foreach { case (r, e) =>
+      assert(math.abs(r.getDouble(2) - e) < 1e-12)
+    }
   }
 }
