@@ -36,8 +36,11 @@ def main():
     con = duckdb.connect()
 
     def nxt(table, col):
-        return con.sql(
+        v = con.sql(
             f"SELECT max({col}) + 1 FROM '{src}/{table}.parquet'").fetchone()[0]
+        assert v is not None, \
+            f"{table}.parquet is empty (max({col}) is NULL) — cannot scale it"
+        return v
 
     n_cust = nxt("customer", "c_custkey")
     n_supp = nxt("supplier", "s_suppkey")

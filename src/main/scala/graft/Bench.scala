@@ -19,6 +19,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Median of wall times — the one definition both Bench and BenchOne
+    * report, so the dev tool can't disagree with the published line.
+    */
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   /** Baseline "queries" map, if the file exists for this sf. The file
     * defaults to BASELINE_local.json (sf0.1, the driver's round loop) and
     * is overridable via SPARK_GRAFT_BASELINE for builder-owned scale
@@ -31,7 +40,16 @@ object Bench {
     try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = om.readTree(f)
-      if (root.path("sf_dir").asText("") != sfDir) return Map.empty
+      val baseSf = root.path("sf_dir").asText("")
+      if (baseSf != sfDir) {
+        // loud, not silent: an existing baseline whose sf_dir merely
+        // differs in spelling (relative vs absolute) would otherwise just
+        // drop the ratio fields and read as "no baseline recorded"
+        System.err.println(
+          s"[bench] baseline ${f.getPath} exists but its sf_dir ('$baseSf') " +
+            s"!= SPARK_GRAFT_SF_DIR ('$sfDir') — ratios omitted")
+        return Map.empty
+      }
       val it = root.path("queries").properties().iterator()
       val b = Map.newBuilder[String, Double]
       while (it.hasNext) {
@@ -80,11 +98,6 @@ object Bench {
     val idxLine = "sim3_index_build" ->
       (if (idxOk) (System.nanoTime() - idx0) / 1e9 else -1.0)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
     val results = (SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val walls = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()

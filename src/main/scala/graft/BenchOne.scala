@@ -34,7 +34,7 @@ object BenchOne {
         val n = fn(spark, sfDir).count()
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      val med = walls.map(_._1).sorted.apply(walls.size / 2)
+      val med = Bench.median(walls.map(_._1))
       val all = walls.map(w => f"${w._1}%.2f").mkString(" ")
       System.err.println(
         f"[bench-one] $name%-28s median $med%8.2f s of [$all]  (${walls.head._2} rows)")

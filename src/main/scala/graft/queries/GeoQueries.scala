@@ -359,33 +359,36 @@ object GeoQueries {
         |  round(sum(greatest(0.001, 1 - abs(2*z - 1)) * z / t)
         |      / sum(greatest(0.001, 1 - abs(2*z - 1))), 6) AS radiance
         |FROM chan GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
-      graft.expr.GraftFunctions.register(s)
       val bracket = array(graft.ops.Hdr.ExposureBracket.map(lit): _*)
-      // slot assignment without a window: per-key smallest-5 via the
-      // BOUNDED collect_smallest_n aggregate (Spark's CollectTopK,
-      // reverse=true) — an O(5) buffer that partial-aggregates map-side,
-      // never collecting a whole key's rows the way
-      // slice(array_sort(collect_list)) did; then posexplode re-ranks.
-      // The merge itself (Hdr.mergeExploded) is a plain codegen'd
-      // sum/sum hash aggregate on (l_orderkey, channel), which the
-      // collect_smallest_n stage's hashpartitioning(l_orderkey) already
-      // satisfies — the whole query is ONE exchange and every per-pixel
-      // op stays inside whole-stage codegen (the r8 interpreted-HOF fold
-      // was 6.7x the oracle at sf1; this is the oracle's own long form).
+      // Slot assignment: row_number ≤ 5, which Spark 4 plans as
+      // WindowGroupLimit — a per-partition streaming top-5 per key BEFORE
+      // the exchange (Partial mode) and again after (Final), so no task
+      // ever buffers a whole key's rows. This replaced the r8
+      // collect_smallest_n (CollectTopK) aggregate: as a
+      // TypedImperativeAggregate it runs in ObjectHashAggregateExec,
+      // whose sort-based fallback (128-key default) re-serializes every
+      // priority-queue buffer through an external sort at 1.5M keys —
+      // measured 50-110 s at sf1 vs 1.4-3.8 s for this window shape
+      // (ProfX17). The merge itself (Hdr.mergeExploded) is a plain
+      // codegen'd sum/sum hash aggregate on (l_orderkey, channel), which
+      // the window's hashpartitioning(l_orderkey) already satisfies —
+      // the whole query is ONE exchange.
       // l_linenumber alone is NOT unique per orderkey in the synthetic
       // data — partkey/suppkey break the tie for a total slot order.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+      // groups with <5 exposures are dropped by mergeExploded's
+      // minExposures count (the oracle's HAVING count(*) >= 5 guard)
       val five = T.lineitem(s, d)
-        .select(col("l_orderkey"), struct(
-          col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-          (col("l_quantity") / 50.0).as("z0"),
-          (col("l_discount") * 10.0).as("z1")).as("r"))
-        .groupBy("l_orderkey")
-        .agg(call_function("collect_smallest_n", col("r"), lit(5)).as("e5"))
-        .filter(size(col("e5")) === 5)
-        .select(col("l_orderkey"), posexplode(col("e5")).as(Seq("s0", "e")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), (col("l_quantity") / 50.0).as("z0"),
+          (col("l_discount") * 10.0).as("z1"))
+        .withColumn("slot", row_number().over(w))
+        .filter(col("slot") <= 5)
         .select(col("l_orderkey"),
-          element_at(bracket, col("s0") + 1).as("t"),
-          array(col("e.z0"), col("e.z1")).as("px"))
+          element_at(bracket, col("slot")).as("t"),
+          array(col("z0"), col("z1")).as("px"))
       graft.ops.Hdr.mergeExploded(five, "l_orderkey", "t", "px")
         .select(col("l_orderkey"), col("channel"),
           round(col("radiance"), 6).as("radiance"))

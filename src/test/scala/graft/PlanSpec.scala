@@ -107,21 +107,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("x17/t5/a3: round-5 plan shapes hold (no window; custom aggregates)") {
+  test("x17/t5/a3: pinned plan shapes hold (bounded slots; custom aggs)") {
     val x17 = plan("x17_hdr_merge")
-    assert(!x17.contains("Window"),
-      s"x17 slot assignment went back to a window:\n${x17.take(800)}")
-    // slot assignment must be the bounded smallest-n aggregate with a
-    // map-side partial — not collect_list over a whole key. (mergeGroups
-    // further downstream still collect_lists, but only over the ≤5
-    // already-sliced slot rows per key — bounded by construction.)
-    assert(x17.contains("partial_collect_top_k"),
-      s"x17 slot assignment not a bounded partial aggregate:\n${x17.take(800)}")
-    // anything printed after the partial collect_top_k line is its input
-    // subtree; mergeGroups' own (bounded) collect_list prints BEFORE it,
-    // so a collect_list in the suffix means one feeds the slot assignment
-    assert(!x17.substring(x17.indexOf("collect_top_k")).contains("collect_list"),
-      s"collect_list feeds the slot assignment:\n${x17.take(800)}")
+    // slot assignment is row_number ≤ 5 planned as WindowGroupLimit: a
+    // bounded per-key top-5 that runs Partial BEFORE the exchange — no
+    // task buffers a whole key. (The r5-r8 collect_smallest_n aggregate
+    // was measured 15-30x slower at sf1: ObjectHashAggregate's sort-based
+    // fallback re-serializes every priority-queue buffer at 1.5M keys.)
+    assert(x17.contains("WindowGroupLimit"),
+      s"x17 slot assignment lost the WindowGroupLimit pushdown:\n${x17.take(1200)}")
+    assert(x17.contains("Partial"),
+      s"x17 has no partial (pre-shuffle) group limit:\n${x17.take(1200)}")
+    // the merge must stay the exploded codegen'd sum/sum hash aggregate —
+    // no collect_list anywhere (the r8 interpreted HOF fold is gone)
+    assert(!x17.contains("collect_list"),
+      s"x17 merge went back to collect_list:\n${x17.take(1200)}")
+    // one exchange total: the (l_orderkey, channel) aggregate and the
+    // final sort reuse the window's hashpartitioning(l_orderkey)
+    val nExchanges = "Exchange hashpartitioning".r
+      .findAllIn(x17).size
+    assert(nExchanges == 1,
+      s"x17 should shuffle exactly once, saw $nExchanges:\n${x17.take(1200)}")
     val t5 = plan("t5_chargram_stats")
     assert(t5.contains("chargram_distinct") && !t5.contains("array_distinct"),
       s"t5 not using the codegen'd distinct counter:\n${t5.take(800)}")
