@@ -46,6 +46,27 @@ object Sinks {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("grp").parquet(dir)
 
+  /** S8 write-side on the S11 path: EXIF-inheriting rename sink
+    * (calculate.py:109-134, the reference's commented-out write shape).
+    * Per sorted group of `groupSize` images, the slot's bracket
+    * ExposureTime is stamped into the JPEG bytes while the rename key is
+    * computed — one map-side projection, no extra shuffle; the read-side
+    * walker (Exif.exposureTime) round-trips the stamped value.
+    */
+  def renameExifSink(df: DataFrame, ordCol: String, contentCol: String,
+      dir: String, groupSize: Int = 5,
+      exposures: Seq[Double] =
+        Seq(1.0 / 200, 1.0 / 800, 1.0 / 400, 1.0 / 100, 1.0 / 50)): Unit = {
+    val stamp = Exif.stampExposureUdf(exposures)
+    df.withColumn("grp", expr(s"$ordCol div $groupSize"))
+      .withColumn("slot", expr(s"$ordCol % $groupSize").cast("int"))
+      .withColumn("new_name",
+        format_string("%d_%d.JPG", col("grp"), col("slot")))
+      .withColumn(contentCol, stamp(col(contentCol), col("slot")))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("grp").parquet(dir)
+  }
+
   /** Bucketed table write: co-locates join/agg keys at write time so
     * later equi-joins between tables bucketed on the same key by the
     * same count need NO shuffle at all (asserted on the physical plan in

@@ -107,12 +107,25 @@ object CoreQueries {
         |  SELECT l_orderkey, list_sort(list(l_linenumber)) AS lns
         |  FROM lineitem GROUP BY l_orderkey)
         |WHERE len(lns) = 4 ORDER BY l_orderkey""") { (s, d) =>
+      // collect_list forces ObjectHashAggregate, whose sort-based fallback
+      // re-serializes every buffer at millions of keys (the x17 lesson).
+      // l_linenumber is 1..7 (TPC-H spec; verified in the synthetic data,
+      // which DOES repeat values per orderkey — max dup 6 at sf0.1), so a
+      // packed base-8 counter (3 bits per value) holds the whole sorted
+      // multiset in one LONG: count+sum stay in whole-stage codegen, and
+      // the list is decoded only for groups surviving the arity guard.
+      // Overflow is impossible for survivors — n==4 caps any per-value
+      // count at 4 < 8 — and an overflowed counter only ever belongs to a
+      // group the n==4 filter drops.
       T.lineitem(s, d)
         .groupBy("l_orderkey")
-        .agg(sort_array(collect_list(col("l_linenumber"))).as("lns"))
-        .filter(size(col("lns")) === 4)
+        .agg(count(lit(1)).as("n"),
+          sum(expr("shiftleft(1L, l_linenumber * 3)")).as("code"))
+        .filter(col("n") === 4)
         .select(col("l_orderkey"),
-          array_join(transform(col("lns"), _.cast("string")), ",")
+          expr("""array_join(flatten(transform(sequence(1, 7),
+            x -> array_repeat(cast(x as string),
+                   cast(shiftright(code, x * 3) & 7 as int)))), ',')""")
             .as("line_numbers"))
         .orderBy("l_orderkey")
     },

@@ -136,6 +136,19 @@ class PlanSpec extends SparkSpec {
       s"a3 not using the element-wise sum aggregate:\n${a3.take(800)}")
   }
 
+  test("p2: arity guard is a codegen'd hash aggregate, not an object agg") {
+    val p = plan("p2_arity_guard")
+    // the packed base-8 counter keeps the whole multiset in a LONG:
+    // count+sum plan as HashAggregate (codegen) with a map-side partial —
+    // never ObjectHashAggregate (collect_list), whose sort-based fallback
+    // re-serializes every buffer at millions of keys
+    assert(!p.contains("ObjectHashAggregate") && !p.contains("collect_list"),
+      s"p2 went back to a collect-based aggregate:\n${p.take(1200)}")
+    val exIdx = p.indexOf("Exchange hashpartitioning(l_orderkey")
+    assert(exIdx >= 0 && p.lastIndexOf("HashAggregate") > exIdx,
+      s"p2 has no map-side partial aggregate:\n${p.take(1200)}")
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     import spark.implicits._
     val left = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "a")

@@ -61,10 +61,10 @@ class SinksSpec extends SparkSpec {
     assert(builds == 2)
   }
 
-  test("Exif reader extracts ExposureTime from a minimal APP1 blob (S8)") {
-    // hand-built JPEG: SOI + APP1(Exif, little-endian TIFF):
-    //   IFD0: 1 entry (ExifIFDPointer -> 38); ExifIFD: 1 entry
-    //   (ExposureTime RATIONAL @ 68) = 1/200
+  // hand-built JPEG: SOI + APP1(Exif, little-endian TIFF):
+  //   IFD0: 1 entry (ExifIFDPointer -> 26); ExifIFD: 1 entry
+  //   (ExposureTime RATIONAL @ 44) = 1/200
+  private def sampleJpeg: Array[Byte] = {
     def u16(v: Int) = Seq((v >> 8) & 0xff, v & 0xff) // big-endian (marker/len)
     def le16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
     def le32(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff,
@@ -77,8 +77,12 @@ class SinksSpec extends SparkSpec {
       le32(0) ++
       le32(1) ++ le32(200) // rational @ 44
     val app1 = Seq('E'.toInt, 'x'.toInt, 'i'.toInt, 'f'.toInt, 0, 0) ++ tiff
-    val jpeg = (Seq(0xff, 0xd8, 0xff, 0xe1) ++ u16(app1.length + 2) ++ app1)
+    (Seq(0xff, 0xd8, 0xff, 0xe1) ++ u16(app1.length + 2) ++ app1)
       .map(_.toByte).toArray
+  }
+
+  test("Exif reader extracts ExposureTime from a minimal APP1 blob (S8)") {
+    val jpeg = sampleJpeg
     assert(Exif.exposureTime(jpeg).contains((1L, 200L)))
     // through the UDF on a DataFrame
     val df = Seq(Tuple1(jpeg)).toDF("content")
@@ -87,5 +91,42 @@ class SinksSpec extends SparkSpec {
     // garbage bytes -> None, no crash
     assert(Exif.exposureTime(Array[Byte](1, 2, 3)).isEmpty)
     assert(Exif.exposureTime(null).isEmpty)
+  }
+
+  test("ExposureTime write survives the rename sink (S8 write side, S11)") {
+    // in-place overwrite: tag exists, all other bytes untouched
+    val withTag = sampleJpeg
+    val over = Exif.setExposureTime(withTag, 2500L, 1000000L)
+    assert(Exif.exposureTime(over).contains((2500L, 1000000L)))
+    assert(over.length == withTag.length)
+    assert(Exif.exposureTime(withTag).contains((1L, 200L)),
+      "input bytes must not be mutated")
+    // insert path: bare JPEG with no Exif block gets a minimal APP1
+    val bare = Array(0xff, 0xd8, 0x11, 0x22).map(_.toByte)
+    val ins = Exif.setExposureTime(bare, 10000L, 1000000L)
+    assert(Exif.exposureTime(ins).contains((10000L, 1000000L)))
+    assert(ins.takeRight(2).toSeq == bare.takeRight(2).toSeq,
+      "original payload must follow the inserted segment")
+    // non-JPEG bytes pass through unchanged
+    assert(Exif.setExposureTime(Array[Byte](1, 2, 3), 1L, 2L).toSeq ==
+      Seq[Byte](1, 2, 3))
+    // full round-trip through the rename sink: 10 images (mixed
+    // has-Exif / bare), 2 groups of 5, bracket per slot
+    val dir = Files.createTempDirectory("graft-exif-rename").toString + "/out"
+    val rows = (0L until 10L).map(i =>
+      (i, if (i % 2 == 0) sampleJpeg else bare))
+    Sinks.renameExifSink(rows.toDF("ord", "content"), "ord", "content", dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10)
+    val got = back.orderBy("ord")
+      .select(Exif.exposureSecondsUdf(col("content")).as("e"),
+        col("new_name"))
+      .collect()
+    val bracket = Seq(1.0 / 200, 1.0 / 800, 1.0 / 400, 1.0 / 100, 1.0 / 50)
+    (0 until 10).foreach { i =>
+      assert(math.abs(got(i).getDouble(0) - bracket(i % 5)) < 1e-9,
+        s"image $i should carry bracket slot ${i % 5}")
+    }
+    assert(got(7).getString(1) == "1_2.JPG")
   }
 }
