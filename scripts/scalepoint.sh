@@ -42,11 +42,14 @@ echo "== baseline: recording DuckDB wall times -> BASELINE_${TAG}.json =="
 python3 scripts/baseline.py "${SF_DIR}" "${VERIFY_DIR}" "BASELINE_${TAG}.json"
 
 echo "== bench: graft.Bench vs BASELINE_${TAG}.json -> BENCH_${TAG}.json =="
+# sbt prefixes forked-process stdout with "[info] ", so extract the JSON
+# object rather than anchoring at line start
 SPARK_GRAFT_SF_DIR="${SF_DIR}" \
 SPARK_GRAFT_BASELINE="BASELINE_${TAG}.json" \
 SPARK_GRAFT_CPUS="${CPUS}" \
-  sbt "runMain graft.Bench" | grep '^{"metric"' | tail -1 \
+  sbt "runMain graft.Bench" | grep -o '{"metric".*}' | tail -1 \
   > "BENCH_${TAG}.json"
+test -s "BENCH_${TAG}.json" || { echo "bench produced no metric line" >&2; exit 1; }
 
 echo "== done: BASELINE_${TAG}.json + BENCH_${TAG}.json =="
 cat "BENCH_${TAG}.json"

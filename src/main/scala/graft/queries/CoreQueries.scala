@@ -77,7 +77,7 @@ object CoreQueries {
         |          CAST(l_suppkey % 360 - 180 AS DOUBLE)),
         |        '-?\d+\.\d+|-?\d+') AS nums
         |    FROM lineitem))
-        |ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+        |ORDER BY l_orderkey, l_linenumber, x, y, z, a, b, c""") { (s, d) =>
       val line = format_string(
         "LIN {X %.3f, Y %.3f, Z %.3f, A %.3f, B %.3f, C %.3f}",
         col("l_quantity"), col("l_extendedprice"), col("l_discount"),
@@ -88,7 +88,7 @@ object CoreQueries {
           T.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
             line.as("line")), "line")
         .select("l_orderkey", "l_linenumber", "x", "y", "z", "a", "b", "c")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "x", "y", "z", "a", "b", "c")
     },
 
     // P1: suffix predicate (point3d_transformation.py:20 endswith('.JPG')).
@@ -134,11 +134,14 @@ object CoreQueries {
     QueryDef("p3_magnitude_filter",
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |WHERE l_extendedprice > 40000
-        |ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""") { (s, d) =>
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem:
+      // the sort must be total over the OUTPUT columns or tied rows land in
+      // engine-dependent order and the hash compare flips at scale
       T.lineitem(s, d)
         .filter(col("l_extendedprice") > 40000)
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
     },
 
     // P4: group-size guard count >= 5 (handlehdrgen.py:25-27).
@@ -316,7 +319,7 @@ object CoreQueries {
         |  UNION ALL
         |  SELECT 'li' AS src, l_orderkey * 10 + l_linenumber AS id, l_tax AS v
         |  FROM lineitem WHERE l_orderkey < 100)
-        |ORDER BY src, id""") { (s, d) =>
+        |ORDER BY src, id, v""") { (s, d) =>
       val ev = T.events(s, d).filter(col("event_type") === "error")
         .select(lit("ev").as("src"), col("event_id").as("id"),
           round(col("value"), 2).as("v"))
@@ -324,7 +327,8 @@ object CoreQueries {
         .select(lit("li").as("src"),
           (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
           col("l_tax").as("v"))
-      ev.unionByName(li).orderBy("src", "id")
+      // id collides for duplicated line numbers — v completes the sort
+      ev.unionByName(li).orderBy("src", "id", "v")
     }
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.ops.{Geometry => G, Tables => T}
 
@@ -28,35 +29,47 @@ object GeoQueries {
     -0.05, 0.95, 12.5,
     0.0002, -0.0001, 1.0)
 
+  // DuckDB's round(x, 9) goes through an inexact x*1e9 multiply while
+  // Spark rounds the exact decimal expansion of the double — the engines
+  // disagree on cells landing within an ulp of a rounding boundary
+  // (observed: 20 of 24M cells at sf1). floor(x*1e9 + 0.5)/1e9 is pure
+  // IEEE arithmetic, so writing the SAME formula on both sides is
+  // bit-identical at any scale; the leading 0.0 + folds -0.0 to 0.0.
+  // Oracle-side twin: `0.0 + floor((expr) * 1e9 + 0.5) / 1e9`.
+  private def r9(c: Column): Column = lit(0.0) + floor(c * 1e9 + 0.5) / 1e9
+
   def defs: Seq[QueryDef] = Seq(
 
     // X5: Euclidean norm per residual (extrinsic_calibration.py:212,
     // camera_calib.py:109-110).
     QueryDef("x5_norm_residual",
       """SELECT l_orderkey, l_linenumber,
-        |  round(sqrt((l_quantity - 25.0) * (l_quantity - 25.0) +
-        |             (l_discount * 100.0 - 5.0) * (l_discount * 100.0 - 5.0)),
-        |        9) AS norm
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+        |  0.0 + floor(sqrt((l_quantity - 25.0) * (l_quantity - 25.0) +
+        |        (l_discount * 100.0 - 5.0) * (l_discount * 100.0 - 5.0))
+        |      * 1e9 + 0.5) / 1e9 AS norm
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, norm""") { (s, d) =>
+      // (l_orderkey, l_linenumber) duplicates in the synthetic lineitem:
+      // every ORDER BY here is total over the output columns so tied rows
+      // hash identically in both engines (same in x6-x9, x12 below)
       val du = col("l_quantity") - 25.0
       val dv = col("l_discount") * 100.0 - 5.0
       T.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(G.norm2(du, dv), 9).as("norm"))
-        .orderBy("l_orderkey", "l_linenumber")
+          r9(G.norm2(du, dv)).as("norm"))
+        .orderBy("l_orderkey", "l_linenumber", "norm")
     },
 
     // X6: homogeneous 4x4 transform p' = T @ [p;1]
     // (point3d_transformation.py:109-120).
     QueryDef("x6_rigid_transform",
       """SELECT l_orderkey, l_linenumber,
-        |  round(0.36 * x + 0.48 * y + -0.8 * z + 10.0, 9) AS px,
-        |  round(-0.8 * x + 0.6 * y + 0.0 * z + -5.0, 9) AS py,
-        |  round(0.48 * x + 0.64 * y + 0.6 * z + 2.5, 9) AS pz
+        |  0.0 + floor((0.36 * x + 0.48 * y + -0.8 * z + 10.0) * 1e9 + 0.5) / 1e9 AS px,
+        |  0.0 + floor((-0.8 * x + 0.6 * y + 0.0 * z + -5.0) * 1e9 + 0.5) / 1e9 AS py,
+        |  0.0 + floor((0.48 * x + 0.64 * y + 0.6 * z + 2.5) * 1e9 + 0.5) / 1e9 AS pz
         |FROM (SELECT l_orderkey, l_linenumber, l_quantity AS x,
         |        l_extendedprice / 1000.0 AS y, l_discount * 10.0 AS z
         |      FROM lineitem)
-        |ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+        |ORDER BY l_orderkey, l_linenumber, px, py, pz""") { (s, d) =>
       val base = T.lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").as("x"),
@@ -64,8 +77,8 @@ object GeoQueries {
         (col("l_discount") * 10.0).as("z"))
       val (px, py, pz) = G.rigidTransform(T4x4, col("x"), col("y"), col("z"))
       base.select(col("l_orderkey"), col("l_linenumber"),
-          round(px, 9).as("px"), round(py, 9).as("py"), round(pz, 9).as("pz"))
-        .orderBy("l_orderkey", "l_linenumber")
+          r9(px).as("px"), r9(py).as("py"), r9(pz).as("pz"))
+        .orderBy("l_orderkey", "l_linenumber", "px", "py", "pz")
     },
 
     // X7: euler ZYX (degrees, KUKA A,B,C) -> rotation matrix
@@ -90,7 +103,8 @@ object GeoQueries {
         |        CAST(l_suppkey % 180 - 90 AS DOUBLE) AS b,
         |        CAST(l_linenumber * 30 AS DOUBLE) AS c
         |      FROM lineitem)
-        |ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+        |ORDER BY l_orderkey, l_linenumber,
+        |  r00, r01, r02, r10, r11, r12, r20, r21, r22""") { (s, d) =>
       val base = T.lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
         (col("l_partkey") % 360 - 180).cast("double").as("a"),
@@ -99,8 +113,9 @@ object GeoQueries {
       val m = G.eulerZyxToMatrix(col("a"), col("b"), col("c"))
       val outs = for (i <- 0 until 3; j <- 0 until 3)
         yield (lit(0.0) + round(m(i)(j), 6)).as(s"r$i$j")
+      val rNames = for (i <- 0 until 3; j <- 0 until 3) yield s"r$i$j"
       base.select(col("l_orderkey") +: col("l_linenumber") +: outs: _*)
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy(("l_orderkey" +: "l_linenumber" +: rNames).map(col): _*)
     },
 
     // X8: Rodrigues rvec -> matrix with built-in zero-theta guard
@@ -127,7 +142,8 @@ object GeoQueries {
         |  0.0 + round(CASE WHEN th > 0.0 THEN kz * kx * v - ky * s ELSE 0.0 END, 6) AS r20,
         |  0.0 + round(CASE WHEN th > 0.0 THEN kz * ky * v + kx * s ELSE 0.0 END, 6) AS r21,
         |  0.0 + round(CASE WHEN th > 0.0 THEN c + kz * kz * v ELSE 1.0 END, 6) AS r22
-        |FROM k ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+        |FROM k ORDER BY l_orderkey, l_linenumber,
+        |  r00, r01, r02, r10, r11, r12, r20, r21, r22""") { (s, d) =>
       val base = T.lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
         col("l_discount").as("rx"), col("l_tax").as("ry"),
@@ -135,8 +151,9 @@ object GeoQueries {
       val m = G.rodrigues(col("rx"), col("ry"), col("rz"))
       val outs = for (i <- 0 until 3; j <- 0 until 3)
         yield (lit(0.0) + round(m(i)(j), 6)).as(s"r$i$j")
+      val rNames = for (i <- 0 until 3; j <- 0 until 3) yield s"r$i$j"
       base.select(col("l_orderkey") +: col("l_linenumber") +: outs: _*)
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy(("l_orderkey" +: "l_linenumber" +: rNames).map(col): _*)
     },
 
     // X9: pinhole projection with rational distortion (k1,k2,p1,p2,k4;
@@ -157,11 +174,11 @@ object GeoQueries {
         |    (1.0 + 0.1 * r2 + -0.05 * r2 * r2) / (1.0 + 0.02 * r2) AS radial
         |  FROM r)
         |SELECT l_orderkey, l_linenumber,
-        |  round(1000.5 * (xn * radial + 0.002 * xn * yn +
-        |        -0.002 * (r2 + 2.0 * xn * xn)) + 960.0, 9) AS u,
-        |  round(998.25 * (yn * radial + 0.001 * (r2 + 2.0 * yn * yn) +
-        |        -0.004 * xn * yn) + 540.0, 9) AS v
-        |FROM dd ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+        |  0.0 + floor((1000.5 * (xn * radial + 0.002 * xn * yn +
+        |        -0.002 * (r2 + 2.0 * xn * xn)) + 960.0) * 1e9 + 0.5) / 1e9 AS u,
+        |  0.0 + floor((998.25 * (yn * radial + 0.001 * (r2 + 2.0 * yn * yn) +
+        |        -0.004 * xn * yn) + 540.0) * 1e9 + 0.5) / 1e9 AS v
+        |FROM dd ORDER BY l_orderkey, l_linenumber, u, v""") { (s, d) =>
       val base = T.lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
         (col("l_quantity") - 25.0).as("x"),
@@ -171,20 +188,21 @@ object GeoQueries {
         fx = 1000.5, fy = 998.25, cx = 960.0, cy = 540.0,
         k1 = 0.1, k2 = -0.05, p1 = 0.001, p2 = -0.002, k4 = 0.02)
       base.select(col("l_orderkey"), col("l_linenumber"),
-          round(u, 9).as("u"), round(v, 9).as("v"))
-        .orderBy("l_orderkey", "l_linenumber")
+          r9(u).as("u"), r9(v).as("v"))
+        .orderBy("l_orderkey", "l_linenumber", "u", "v")
     },
 
     // X10: elementwise intrinsics rescale (camera_calib.py:115-119:
     // fx /= scale after detecting at 0.5x).
     QueryDef("x10_intrinsics_rescale",
-      """SELECT p_partkey, round(p_retailprice / 0.5, 9) AS fx_scaled,
-        |  round((CAST(p_size AS DOUBLE) + 0.5) / 0.5, 9) AS cx_scaled
+      """SELECT p_partkey,
+        |  0.0 + floor((p_retailprice / 0.5) * 1e9 + 0.5) / 1e9 AS fx_scaled,
+        |  0.0 + floor(((CAST(p_size AS DOUBLE) + 0.5) / 0.5) * 1e9 + 0.5) / 1e9 AS cx_scaled
         |FROM part ORDER BY p_partkey""") { (s, d) =>
       T.part(s, d)
         .select(col("p_partkey"),
-          round(col("p_retailprice") / 0.5, 9).as("fx_scaled"),
-          round((col("p_size").cast("double") + 0.5) / 0.5, 9).as("cx_scaled"))
+          r9(col("p_retailprice") / 0.5).as("fx_scaled"),
+          r9((col("p_size").cast("double") + 0.5) / 0.5).as("cx_scaled"))
         .orderBy("p_partkey")
     },
 
@@ -214,17 +232,17 @@ object GeoQueries {
         |w AS (
         |  SELECT *, 0.0002 * u + -0.0001 * v + 1.0 AS wd FROM p)
         |SELECT l_orderkey, l_linenumber,
-        |  round((1.2 * u + 0.1 * v + -30.0) / wd, 9) AS u2,
-        |  round((-0.05 * u + 0.95 * v + 12.5) / wd, 9) AS v2
-        |FROM w ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+        |  0.0 + floor(((1.2 * u + 0.1 * v + -30.0) / wd) * 1e9 + 0.5) / 1e9 AS u2,
+        |  0.0 + floor(((-0.05 * u + 0.95 * v + 12.5) / wd) * 1e9 + 0.5) / 1e9 AS v2
+        |FROM w ORDER BY l_orderkey, l_linenumber, u2, v2""") { (s, d) =>
       val base = T.lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
         (col("l_quantity") * 16.0).as("u"),
         (col("l_extendedprice") / 100.0).as("v"))
       val (u2, v2) = G.homographyApply(H3x3, col("u"), col("v"))
       base.select(col("l_orderkey"), col("l_linenumber"),
-          round(u2, 9).as("u2"), round(v2, 9).as("v2"))
-        .orderBy("l_orderkey", "l_linenumber")
+          r9(u2).as("u2"), r9(v2).as("v2"))
+        .orderBy("l_orderkey", "l_linenumber", "u2", "v2")
     },
 
     // X13: chessboard world-point grid generation
@@ -399,12 +417,12 @@ object GeoQueries {
     // HDR-pixel-like float array; posexplode (never stringify doubles).
     QueryDef("x15_luminance_scale",
       """SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
-        |  round(CAST(unnest(embedding) AS DOUBLE) * 0.9, 9) AS lum
+        |  0.0 + floor(CAST(unnest(embedding) AS DOUBLE) * 0.9 * 1e9 + 0.5) / 1e9 AS lum
         |FROM embeddings ORDER BY vec_id, pos""") { (s, d) =>
       T.embeddings(s, d)
         .select(col("vec_id"),
           posexplode(G.luminanceScale(col("embedding"))).as(Seq("pos", "lum")))
-        .select(col("vec_id"), col("pos"), round(col("lum"), 9).as("lum"))
+        .select(col("vec_id"), col("pos"), r9(col("lum")).as("lum"))
         .orderBy("vec_id", "pos")
     }
   )

@@ -6,7 +6,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SQL over the same parquet tables (driver contract, SparkEntry).
   *
   * Determinism rules (SURVEY.md §7.4):
-  *  - every query ends with a total ORDER BY on a unique key;
+  *  - every query ends with a TOTAL order: a unique key where one exists,
+  *    otherwise ORDER BY every output column — (l_orderkey, l_linenumber)
+  *    is NOT unique in the synthetic lineitem and supplier names repeat
+  *    across scale replicas, so tied rows must be identical rows;
   *  - per-row scalar float chains are written with the exact same expression
   *    text on both sides (bit-identical IEEE evaluation) and rounded to 9;
   *  - aggregate-derived floats are rounded to 6 (partial-agg order differs

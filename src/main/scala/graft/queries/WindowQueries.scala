@@ -68,11 +68,15 @@ object WindowQueries {
     // pose_filter.py:3146 enumerate).
     QueryDef("w4_ordinal_assign",
       """SELECT s_suppkey, s_name,
-        |  CAST(row_number() OVER (ORDER BY s_name) AS BIGINT) AS ord
+        |  CAST(row_number() OVER (ORDER BY s_name, s_suppkey) AS BIGINT) AS ord
         |FROM supplier ORDER BY s_suppkey""") { (s, d) =>
+      // s_name repeats at scale (replicated suppliers keep their name), so
+      // the ordinal needs the unique key as tie-break or row_number is
+      // engine-dependent
       T.supplier(s, d)
         .withColumn("ord",
-          row_number().over(Window.orderBy(col("s_name"))).cast("bigint"))
+          row_number().over(Window.orderBy(col("s_name"), col("s_suppkey")))
+            .cast("bigint"))
         .select("s_suppkey", "s_name", "ord")
         .orderBy("s_suppkey")
     },
