@@ -65,9 +65,19 @@ object Windows {
     * want deterministic release can `Windows.unpersistRowNumberCache(df)`.
     */
   def withGlobalRowNumbers(df: DataFrame, orderCol: String,
+      outCol: String = "rn0"): DataFrame =
+    withGlobalRowNumbersBy(df, Seq(orderCol), outCol)
+
+  /** Multi-column form: the numbering is deterministic ONLY if the order
+    * key is total (ties land in engine/run-dependent positions otherwise —
+    * the same rule the oracled queries follow), so callers with a
+    * non-unique leading column pass the unique tie-break here.
+    */
+  def withGlobalRowNumbersBy(df: DataFrame, orderCols: Seq[String],
       outCol: String = "rn0"): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(col(orderCol)).sortWithinPartitions(col(orderCol))
+    val oc = orderCols.map(col)
+    val sorted = df.repartitionByRange(oc: _*).sortWithinPartitions(oc: _*)
     val sortedRdd = sorted.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sortedRdd

@@ -81,6 +81,25 @@ object WindowQueries {
         .orderBy("s_suppkey")
     },
 
+    // W4 scale twin: the same ordinal via the range-sort + broadcast-offset
+    // numbering (Windows.withGlobalRowNumbersBy) — identical output to the
+    // faithful global window above (same oracle shape), but NO
+    // single-partition Window task anywhere in the plan: the sort is a
+    // parallel range exchange and each partition numbers itself from the
+    // tiny cumulative-count array. This is the form that survives a fact
+    // table at 100 TB; w4 keeps the faithful form for the dim-sized input.
+    QueryDef("w9_ordinal_scalable",
+      """SELECT s_suppkey, s_name,
+        |  CAST(row_number() OVER (ORDER BY s_name, s_suppkey) AS BIGINT) AS ord
+        |FROM supplier ORDER BY s_suppkey""") { (s, d) =>
+      Windows.withGlobalRowNumbersBy(
+          T.supplier(s, d).select("s_suppkey", "s_name"),
+          Seq("s_name", "s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("rn0") + 1).as("ord"))
+        .orderBy("s_suppkey")
+    },
+
     // W5: argmin/argmax corner-role selection via min_by/max_by
     // (pixel_processing.py:51-63: tl=min(x+y), br=max(x+y), tr=max(x-y),
     // bl=min(x-y)). Synthetic exact-integer coordinates (u in a coarse

@@ -82,6 +82,22 @@ class WindowsSpec extends SparkSpec {
       viaWindow.exceptAll(viaRdd).isEmpty)
   }
 
+  test("withGlobalRowNumbersBy breaks leading-column ties deterministically") {
+    import spark.implicits._
+    // duplicate names across 8 partitions: a single-column order would
+    // number the ties in run-dependent positions; the unique tie-break
+    // must reproduce the window form exactly
+    val df = (1L to 400L).map(i => (i, s"name_${i % 7}")).toDF("k", "name")
+      .repartition(8)
+    val viaRdd = Windows.withGlobalRowNumbersBy(df, Seq("name", "k"))
+      .select(col("k"), (col("rn0") + 1).as("ord"))
+    val viaWindow = df.select(col("k"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("name"), col("k"))).cast("long").as("ord"))
+    assert(viaRdd.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaRdd).isEmpty)
+  }
+
   test("withGlobalRowNumbers persists the sort once and can release it") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val numbered = Windows.withGlobalRowNumbers(

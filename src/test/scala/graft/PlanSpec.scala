@@ -149,6 +149,12 @@ class PlanSpec extends SparkSpec {
       s"p2 has no map-side partial aggregate:\n${p.take(1200)}")
   }
 
+  test("w9: scalable ordinal has no single-partition Window task") {
+    val p = plan("w9_ordinal_scalable")
+    assert(!p.contains("Window"),
+      s"w9 reintroduced a global window:\n${p.take(1200)}")
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     import spark.implicits._
     val left = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "a")
