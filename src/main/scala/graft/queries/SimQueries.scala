@@ -111,6 +111,49 @@ object SimQueries {
         .orderBy("label")
     },
 
+    // Embedding-cosine near-dup DEDUP: all within-block pairs above a
+    // cosine threshold, reduced to a canonical-representative assignment
+    // (each vec maps to the smallest-id neighbor above the threshold, or
+    // itself) — the embedding twin of t4/t6's text dedup. Same bounded
+    // triangle-decomposed pair generator as em1, so no task ever holds
+    // more than ~maxBlock^2 pairs regardless of block skew; the canonical
+    // min() is a map-side-partial hash aggregate and the final join back
+    // to the corpus is on the (small) dup set. The threshold is compared
+    // on the round(cos, 6) value on BOTH sides so float noise can never
+    // flip a borderline pair between engines. tau = 0.35 is calibrated to
+    // the synthetic corpus (max within-label cosine ~0.47 at small SF;
+    // the sf1 datagen's exact-dup replicas sit at 1.0).
+    QueryDef("em2_cosine_near_dup",
+      """WITH p AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    round(
+        |      list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+        |      6) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id),
+        |c AS (SELECT vb AS vec_id, min(va) AS canon
+        |      FROM p WHERE cos >= 0.35 GROUP BY vb)
+        |SELECT e.vec_id, e.label,
+        |       coalesce(c.canon, e.vec_id) AS canonical_id,
+        |       c.canon IS NOT NULL AS is_dup
+        |FROM embeddings e LEFT JOIN c USING (vec_id)
+        |ORDER BY e.vec_id""") { (s, d) =>
+      val emb = T.embeddings(s, d)
+      val canon = S.blockedPairs(emb, "label", "vec_id", "embedding",
+          maxBlock = 512)
+        .filter(col("cos") >= 0.35)
+        .groupBy(col("vb").as("vec_id"))
+        .agg(min(col("va")).as("__canon"))
+      emb.select(col("vec_id"), col("label"))
+        .join(canon, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"),
+          coalesce(col("__canon"), col("vec_id")).as("canonical_id"),
+          col("__canon").isNotNull.as("is_dup"))
+        .orderBy("vec_id")
+    },
+
     // IVF pruned top-k over k-means cells: probe the 8 nearest of 25
     // cells per query (~32% of candidates scanned), rank only their
     // members. This is the plan that survives 100 TB: broadcast

@@ -80,4 +80,30 @@ class BlockedPairSpec extends SparkSpec {
       .select("p", "q").distinct().count()
     assert(hotTasks == 9L * 10 / 2, s"expected 45 hot bucket pairs, $hotTasks")
   }
+
+  test("em2 canonical dedup: min-id neighbor above threshold, self otherwise") {
+    import spark.implicits._
+    // two planted dup clusters in one label + a singleton + an unrelated
+    // label; base vectors near-orthogonal so cross-cluster cos << tau
+    def v(seed: Int) = Array.tabulate(16) { j =>
+      if (j == seed % 16) 10f else (math.sin(seed * 91.0 + j) * 0.1).toFloat
+    }
+    val rows = Seq(
+      (10L, "a", v(0)), (11L, "a", v(0)), (12L, "a", v(0)), // cluster -> 10
+      (20L, "a", v(5)), (21L, "a", v(5)), //                   cluster -> 20
+      (30L, "a", v(9)), //                                     singleton
+      (40L, "b", v(0)) //                  same vec, other block: NOT a dup
+    ).toDF("vec_id", "label", "embedding")
+    val canon = Similarity.blockedPairs(
+        rows, "label", "vec_id", "embedding", maxBlock = 2)
+      .filter(col("cos") >= 0.9)
+      .groupBy(col("vb").as("vec_id")).agg(min(col("va")).as("canon"))
+    val got = rows.select(col("vec_id"), col("label"))
+      .join(canon, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("canon"), col("vec_id")).as("canonical_id"))
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 40L -> 40L))
+  }
 }
