@@ -79,6 +79,14 @@ object GraftFunctions {
           DotF32(children(0), children(1))
         }),
       (
+        FunctionIdentifier("l2sq_f32"),
+        new ExpressionInfo(classOf[L2SqF32].getName, "l2sq_f32"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            "l2sq_f32(a, b) takes exactly 2 arguments")
+          L2SqF32(children(0), children(1))
+        }),
+      (
         FunctionIdentifier("word_shingles"),
         new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
         (children: Seq[Expression]) => {

@@ -135,6 +135,28 @@ class ExprSpec extends SparkSpec {
     assert(cg.contains("WholeStageCodegen"), cg.take(500))
   }
 
+  test("l2sq_f32 codegen loop matches the HOF fold bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val emb = graft.ops.Tables.embeddings(spark, sf("sf0.01"))
+      .limit(50).select(col("embedding").as("a"))
+    // float-vs-float and float-vs-double (centroid) element-type mixes
+    val paired = emb.crossJoin(emb.select(col("a").as("b")))
+      .withColumn("bd", transform(col("b"), x => x.cast("double")))
+    val diffs = paired.select(greatest(
+      abs(graft.ops.Similarity.l2sq(col("a"), col("b")) -
+        graft.ops.Similarity.l2sqFast(col("a"), col("b"))),
+      abs(graft.ops.Similarity.l2sq(col("a"), col("bd")) -
+        graft.ops.Similarity.l2sqFast(col("a"), col("bd")))).as("d"))
+      .agg(max(col("d"))).collect()(0).getDouble(0)
+    assert(diffs == 0.0, s"codegen l2sq deviates by $diffs")
+    val cg = paired.select(
+      graft.ops.Similarity.l2sqFast(col("a"), col("bd")).as("s"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen"), cg.take(500))
+  }
+
   test("solve_homography null input yields null, wrong arity is an error") {
     GraftFunctions.register(spark)
     val r = spark.sql(
