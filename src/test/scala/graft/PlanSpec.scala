@@ -155,6 +155,17 @@ class PlanSpec extends SparkSpec {
       s"w9 reintroduced a global window:\n${p.take(1200)}")
   }
 
+  test("em2: canonical dedup is a codegen'd hash aggregate with map-side partial") {
+    val p = plan("em2_cosine_near_dup")
+    // the min(va)-per-vb reduction must be a plain HashAggregate (codegen,
+    // map-side partial before its exchange) — never an object agg
+    assert(!p.contains("ObjectHashAggregate") && !p.contains("SortAggregate"),
+      s"em2 fell out of the hash-agg path:\n${p.take(1200)}")
+    val exIdx = p.indexOf("Exchange hashpartitioning(vec_id")
+    assert(exIdx >= 0 && p.lastIndexOf("HashAggregate") > exIdx,
+      "no map-side partial min before the vec_id exchange")
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     import spark.implicits._
     val left = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "a")
