@@ -20,7 +20,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Accepts array<float> or array<double> on either side (vectors are
   * float32; centroid means are rounded doubles); each element is
   * widened to double exactly as `cast(x as double)` does, so decisions
-  * match the HOF twin bit for bit.
+  * match the HOF twin bit for bit — for EQUAL-LENGTH arrays with
+  * NON-NULL elements (the only shape embeddings/centroids take). A
+  * length mismatch throws rather than silently summing a prefix; null
+  * elements are read as 0.0 (the HOF twin would return NULL) — callers
+  * with nullable elements must pre-filter.
   */
 case class L2SqF32(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -47,7 +51,9 @@ case class L2SqF32(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) throw new IllegalArgumentException(
+      s"l2sq_f32: length mismatch ($n vs ${y.numElements()})")
     val xf = isFloat(left); val yf = isFloat(right)
     var s = 0.0
     var i = 0
@@ -70,7 +76,11 @@ case class L2SqF32(left: Expression, right: Expression)
       def get(arr: String, idx: String, float: Boolean): String =
         if (float) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
       code"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          throw new IllegalArgumentException(
+            "l2sq_f32: length mismatch (" + $n + " vs " + $b.numElements() + ")");
+        }
         double $s = 0.0;
         for (int $i = 0; $i < $n; $i++) {
           double $d = ${get(a, i, isFloat(left))} - ${get(b, i, isFloat(right))};

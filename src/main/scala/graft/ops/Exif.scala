@@ -112,13 +112,33 @@ object Exif {
       ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
   }
 
+  /** Byte range [start, end) of the first Exif APP1 segment, if any —
+    * used to splice out a stale block (one that exists but lacks the
+    * tag) rather than shadowing it with a second APP1, which would leave
+    * external tools that merge or prefer later segments seeing
+    * inconsistent Exif.
+    */
+  private def exifApp1Range(bytes: Array[Byte]): Option[(Int, Int)] = {
+    var i = 2
+    while (i + 4 < bytes.length && (bytes(i) & 0xff) == 0xff) {
+      val marker = bytes(i + 1) & 0xff
+      val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+      if (marker == 0xe1 && i + 10 < bytes.length &&
+        bytes(i + 4) == 'E' && bytes(i + 5) == 'x' && bytes(i + 6) == 'i' &&
+        bytes(i + 7) == 'f' && bytes(i + 8) == 0 && bytes(i + 9) == 0)
+        return Some((i, math.min(i + 2 + len, bytes.length)))
+      i += 2 + len
+    }
+    None
+  }
+
   /** Write side (calculate.py:133-134 piexif ExposureTime assignment):
     * returns a copy of `bytes` with ExposureTime = num/den. If the tag
     * exists it is overwritten in place (all other Exif content kept); if
     * not — no APP1, foreign TIFF, or an Exif block without the tag — a
-    * minimal APP1 is inserted right after SOI, which readers taking the
-    * first Exif segment (ours included) then see. Non-JPEG bytes are
-    * returned unchanged.
+    * minimal APP1 replaces any stale Exif block (or is inserted right
+    * after SOI), so the file carries exactly one Exif segment. Non-JPEG
+    * bytes are returned unchanged.
     */
   def setExposureTime(bytes: Array[Byte], num: Long, den: Long): Array[Byte] =
     locateExposure(bytes) match {
@@ -130,7 +150,12 @@ object Exif {
       case None =>
         if (bytes == null || bytes.length < 2 ||
           (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) bytes
-        else bytes.take(2) ++ minimalApp1(num, den) ++ bytes.drop(2)
+        else exifApp1Range(bytes) match {
+          case Some((s, e)) =>
+            bytes.take(s) ++ minimalApp1(num, den) ++ bytes.drop(e)
+          case None =>
+            bytes.take(2) ++ minimalApp1(num, den) ++ bytes.drop(2)
+        }
     }
 
   /** UDF form: binary content -> exposure seconds (num/den as double). */

@@ -39,8 +39,11 @@ object Sinks {
     */
   def renameSink(df: DataFrame, ordCol: String, dir: String,
       groupSize: Int = 5, base: Long = 0): Unit =
-    df.withColumn("grp", expr(s"$ordCol div $groupSize + $base"))
-      .withColumn("slot", expr(s"$ordCol % $groupSize"))
+    // floor-div + pmod, not div/%, so a signed or offsetted ordinal still
+    // yields slot in [0, groupSize) instead of a silent negative pair
+    df.withColumn("grp",
+        expr(s"cast(floor($ordCol / $groupSize) as bigint) + $base"))
+      .withColumn("slot", expr(s"pmod($ordCol, $groupSize)"))
       .withColumn("new_name",
         format_string("%d_%d.JPG", col("grp"), col("slot")))
       .write.mode(SaveMode.Overwrite)
@@ -58,8 +61,10 @@ object Sinks {
       exposures: Seq[Double] =
         Seq(1.0 / 200, 1.0 / 800, 1.0 / 400, 1.0 / 100, 1.0 / 50)): Unit = {
     val stamp = Exif.stampExposureUdf(exposures)
-    df.withColumn("grp", expr(s"$ordCol div $groupSize"))
-      .withColumn("slot", expr(s"$ordCol % $groupSize").cast("int"))
+    // floor-div + pmod: a negative ordinal must not produce a negative
+    // slot (the stamp UDF would silently pass bytes through unstamped)
+    df.withColumn("grp", expr(s"cast(floor($ordCol / $groupSize) as bigint)"))
+      .withColumn("slot", expr(s"pmod($ordCol, $groupSize)").cast("int"))
       .withColumn("new_name",
         format_string("%d_%d.JPG", col("grp"), col("slot")))
       .withColumn(contentCol, stamp(col(contentCol), col("slot")))

@@ -210,8 +210,16 @@ object CoreQueries {
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""") { (s, d) =>
+      // Broadcast can only build the RIGHT side of a left-semi, and the
+      // right side here is the fact table — so dedupe its key first: the
+      // distinct partial-aggregates map-side (shuffles ~|customer| keys,
+      // not |orders| rows) and the deduped key set broadcasts into a
+      // BroadcastHashJoin LeftSemi (pinned in PlanSpec). At 100 TB, if
+      // the key set outgrows the broadcast threshold AQE falls back to a
+      // shuffle semi-join over the already-deduped keys — still strictly
+      // less data moved than semi-joining raw orders.
       T.customer(s, d)
-        .join(T.orders(s, d),
+        .join(broadcast(T.orders(s, d).select("o_custkey").distinct()),
           col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")

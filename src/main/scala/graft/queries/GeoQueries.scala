@@ -36,6 +36,11 @@ object GeoQueries {
   // IEEE arithmetic, so writing the SAME formula on both sides is
   // bit-identical at any scale; the leading 0.0 + folds -0.0 to 0.0.
   // Oracle-side twin: `0.0 + floor((expr) * 1e9 + 0.5) / 1e9`.
+  // PRECONDITION: finite inputs only. Spark's floor(double) casts to
+  // BIGINT, so NaN/±Inf become 0/Long.MaxValue while DuckDB keeps
+  // NaN/Inf — a singular denominator upstream (e.g. wd=0 in x12) would
+  // diverge silently across engines rather than fail loudly. Every
+  // current caller divides by a quantity bounded away from 0.
   private def r9(c: Column): Column = lit(0.0) + floor(c * 1e9 + 0.5) / 1e9
 
   def defs: Seq[QueryDef] = Seq(

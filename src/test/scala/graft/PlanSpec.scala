@@ -27,6 +27,18 @@ class PlanSpec extends SparkSpec {
     assert(plan("w3_topk_worst").contains("TakeOrderedAndProject"))
   }
 
+  test("j2: semi-join builds a broadcast from the DEDUPED fact key") {
+    val p = plan("j2_semi_join")
+    // the fact side is deduped (map-side partial distinct) and the key set
+    // broadcast — BroadcastHashJoin LeftSemi, never a raw-orders shuffle
+    // semi-join on the customer side
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"j2 is not a broadcast semi-join:\n${p.take(1200)}")
+    val exIdx = p.indexOf("Exchange hashpartitioning(o_custkey")
+    assert(exIdx >= 0 && p.lastIndexOf("HashAggregate") > exIdx,
+      s"j2's key dedup has no map-side partial:\n${p.take(1200)}")
+  }
+
   test("t4: exact dedup partial-aggregates map-side before the shuffle") {
     val p = plan("t4_exact_dedup")
     val aggIdx = p.indexOf("HashAggregate")
@@ -164,6 +176,12 @@ class PlanSpec extends SparkSpec {
     val exIdx = p.indexOf("Exchange hashpartitioning(vec_id")
     assert(exIdx >= 0 && p.lastIndexOf("HashAggregate") > exIdx,
       "no map-side partial min before the vec_id exchange")
+    // the pair generation must stay the triangle-decomposed bucket
+    // explode (≤maxBlock² pairs per task regardless of skew) — never a
+    // Cartesian/broadcast-nested-loop all-pairs product
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"em2 fell back to an all-pairs product:\n${p.take(1200)}")
   }
 
   test("bucketed tables join without any shuffle exchange") {

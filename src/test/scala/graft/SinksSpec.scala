@@ -81,6 +81,27 @@ class SinksSpec extends SparkSpec {
       .map(_.toByte).toArray
   }
 
+  test("stamping a stale Exif block replaces it — never a second APP1 (S8)") {
+    // same JPEG but the ExifIFD entry is Flash (0x9209), not ExposureTime:
+    // an Exif block that EXISTS but lacks the tag
+    val stale = sampleJpeg
+    val tagOff = stale.indexOfSlice(Seq(0x9a.toByte, 0x82.toByte))
+    val noTag = stale.clone()
+    noTag(tagOff) = 0x09.toByte; noTag(tagOff + 1) = 0x92.toByte
+    assert(Exif.exposureTime(noTag).isEmpty)
+    val stamped = Exif.setExposureTime(noTag, 5000L, 1000000L)
+    assert(Exif.exposureTime(stamped).contains((5000L, 1000000L)))
+    // exactly one APP1 segment: the stale block was spliced out, not
+    // shadowed (external tools preferring later segments would otherwise
+    // read inconsistent Exif)
+    val app1Count = stamped.indices.count(i =>
+      i + 1 < stamped.length && (stamped(i) & 0xff) == 0xff &&
+        (stamped(i + 1) & 0xff) == 0xe1)
+    assert(app1Count == 1, s"expected one APP1, found $app1Count")
+    assert(!stamped.toSeq.containsSlice(Seq(0x09.toByte, 0x92.toByte)),
+      "stale Flash tag should be gone with its block")
+  }
+
   test("Exif reader extracts ExposureTime from a minimal APP1 blob (S8)") {
     val jpeg = sampleJpeg
     assert(Exif.exposureTime(jpeg).contains((1L, 200L)))

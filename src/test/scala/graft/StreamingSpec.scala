@@ -116,9 +116,10 @@ class StreamingSpec extends SparkSpec {
     import graft.ops.Hdr
     val bracket = Hdr.ExposureBracket
     val zs = Seq(0.5, 0.25, 0.4, 0.7, 0.9)
-    val pixels = (0 until 5)
-      .map(s => (s"0_$s.JPG", s + 1, bracket(s), Seq(zs(s), zs(s) / 2)))
-      .toDF("path", "slot", "t", "px")
+    val pixels = (for (p <- Seq("0", "1"); s <- 0 until 5) yield {
+      val scale = if (p == "0") 2.0 else 4.0
+      (s"${p}_$s.JPG", s + 1, bracket(s), Seq(zs(s), zs(s) / scale))
+    }).toDF("path", "slot", "t", "px")
     val input = MemoryStream[FileEvent]
     val merged =
       scala.collection.mutable.ArrayBuffer[(String, Seq[Double])]()
@@ -141,10 +142,19 @@ class StreamingSpec extends SparkSpec {
       }
       .start()
     try {
-      input.addData((0 until 5).map(s => ev("0", s, 100 + s)))
+      // batch 1: group 0 completes, group 1 is still partial — radiance
+      // must appear for 0 only
+      input.addData((0 until 5).map(s => ev("0", s, 100 + s)) ++
+        (0 until 3).map(s => ev("1", s, 200 + s)))
+      q.processAllAvailable()
+      assert(merged.synchronized(merged.map(_._1).toSeq) == Seq("0"),
+        "incomplete group must not emit radiance")
+      // batch 2: group 1's last two exposures arrive — its radiance
+      // appears in THIS batch (per-batch emission as groups complete)
+      input.addData((3 until 5).map(s => ev("1", s, 203 + s)))
       q.processAllAvailable()
     } finally q.stop()
-    assert(merged.map(_._1).toSeq == Seq("0"))
+    assert(merged.map(_._1).sorted.toSeq == Seq("0", "1"))
     // scalar reference of the merge formula per channel
     def expected(chan: Seq[Double]): Double = {
       val terms = chan.zip(bracket).map { case (z, t) =>
@@ -152,9 +162,13 @@ class StreamingSpec extends SparkSpec {
       }
       terms.map(_._1).sum / terms.map(_._2).sum
     }
-    val got = merged.head._2
-    assert(math.abs(got(0) - expected(zs)) < 1e-12)
-    assert(math.abs(got(1) - expected(zs.map(_ / 2))) < 1e-12)
+    val byPose = merged.toMap
+    val g0 = byPose("0")
+    assert(math.abs(g0(0) - expected(zs)) < 1e-12)
+    assert(math.abs(g0(1) - expected(zs.map(_ / 2))) < 1e-12)
+    val g1 = byPose("1")
+    assert(math.abs(g1(0) - expected(zs)) < 1e-12)
+    assert(math.abs(g1(1) - expected(zs.map(_ / 4))) < 1e-12)
   }
 
   test("sessionGaps (batch form) splits on gaps over the threshold") {
