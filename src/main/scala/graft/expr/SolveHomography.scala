@@ -158,7 +158,11 @@ object GraftFunctions {
           require(children.length == 1,
             "array_sum_agg(arr) takes exactly 1 argument")
           ArraySumAgg(children(0))
-        }))
+        }),
+      (
+        FunctionIdentifier("normal_eq_agg"),
+        new ExpressionInfo(classOf[NormalEqAgg].getName, "normal_eq_agg"),
+        (children: Seq[Expression]) => NormalEqAgg(children)))
 
   def register(spark: SparkSession): Unit =
     entries.foreach { case (id, info, builder) =>

@@ -145,14 +145,20 @@ object Extrinsic {
     x
   }
 
-  /** Stage C: Levenberg-Marquardt over [rvec,tvec]. Each iteration builds
-    * the base + 6 finite-difference residual expressions and collects
-    * J^T J (21 sums), J^T r (6) and cost (1) in ONE distributed agg —
-    * 28 doubles cross the driver boundary per iteration, nothing else.
+  /** Stage C: Levenberg-Marquardt over [rvec,tvec]. Each iteration
+    * projects the base + 6 finite-difference residual expressions to 14
+    * named columns (whole-stage codegen evaluates each residual tree
+    * once per row) and folds them through ONE `normal_eq_agg` — a single
+    * TypedImperativeAggregate whose 28-double buffer (cost, J^T J upper
+    * triangle, J^T r) partial-aggregates map-side, so one iteration
+    * shuffles #partitions x 28 doubles and exactly 28 doubles cross the
+    * driver boundary (SURVEY §4's 100-TB accumulator form; previously 28
+    * separate sum() columns).
     */
   def refine(corners: DataFrame, k: Seq[Double], dist: Seq[Double],
       init: Seq[Double], maxIter: Int = 50, eps: Double = 1e-6)
       : (Seq[Double], Double) = {
+    graft.expr.GraftFunctions.register(corners.sparkSession)
 
     def residualCols(p: Seq[Double]) = {
       val t = paramsToT(p)
@@ -173,18 +179,22 @@ object Extrinsic {
         val (ru, rv) = residualCols(pi.toSeq)
         ((ru - r0u) / eps, (rv - r0v) / eps)
       }
-      val aggs = Seq(sum(r0u * r0u + r0v * r0v)) ++
-        (for (i <- 0 until 6; j <- i until 6) yield
-          sum(diffs(i)._1 * diffs(j)._1 + diffs(i)._2 * diffs(j)._2)) ++
-        (0 until 6).map(i => sum(diffs(i)._1 * r0u + diffs(i)._2 * r0v))
-      val row = corners.agg(aggs.head, aggs.tail: _*).collect()(0)
-      val c0 = row.getDouble(0)
+      val named = corners.select(
+        Seq(r0u.as("_ru"), r0v.as("_rv")) ++
+          diffs.zipWithIndex.flatMap { case ((ju, jv), i) =>
+            Seq(ju.as(s"_j${i}u"), jv.as(s"_j${i}v"))
+          }: _*)
+      val args = (Seq("_ru", "_rv") ++
+        (0 until 6).flatMap(i => Seq(s"_j${i}u", s"_j${i}v"))).mkString(", ")
+      val row = named.agg(expr(s"normal_eq_agg($args)").as("ne")).collect()(0)
+      val ne = row.getSeq[Double](0)
+      val c0 = ne(0)
       val jtj = Array.ofDim[Double](6, 6)
       var idx = 1
       for (i <- 0 until 6; j <- i until 6) {
-        jtj(i)(j) = row.getDouble(idx); jtj(j)(i) = jtj(i)(j); idx += 1
+        jtj(i)(j) = ne(idx); jtj(j)(i) = jtj(i)(j); idx += 1
       }
-      val jtr = Array.tabulate(6)(i => row.getDouble(idx + i))
+      val jtr = Array.tabulate(6)(i => ne(idx + i))
 
       // LM: (JtJ + lambda diag(JtJ)) step = -Jtr; accept if cost drops
       var accepted = false

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.ops.{Aggs, Tables => T}
 
 /** Aggregation family A1–A8 (SURVEY.md §2.4) declared over the driver's
@@ -123,14 +124,19 @@ object AggQueries {
     // A8: residual-vector flatten + objective assembly
     // (extrinsic_calibration.py:107-130 errors.extend / np.concatenate;
     // the optimizer consumes sum(r^2)).
+    // Raw (un-normalized) global double sum: at ~36M terms the partial-agg
+    // reassociation error outgrows the 1e-6 rounding grain (seen at sf3:
+    // 98892.912 vs .911995), so this one sums exact DECIMALs — per-term
+    // double→decimal(38,12) is deterministic and decimal addition is
+    // associative, making the result scale- and order-independent.
     QueryDef("a8_residual_flatten",
       """SELECT CAST(count(*) AS BIGINT) AS n_residuals,
-        |  round(sum(r * r), 6) AS sum_sq
+        |  sum(CAST(r * r AS DECIMAL(38,12))) AS sum_sq
         |FROM (SELECT unnest([l_discount, l_tax]) AS r FROM lineitem)""") { (s, d) =>
       T.lineitem(s, d)
         .select(explode(array(col("l_discount"), col("l_tax"))).as("r"))
         .agg(count(lit(1)).as("n_residuals"),
-          round(sum(col("r") * col("r")), 6).as("sum_sq"))
+          sum((col("r") * col("r")).cast(DecimalType(38, 12))).as("sum_sq"))
     }
   )
 }
