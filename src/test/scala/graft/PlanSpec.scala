@@ -167,6 +167,32 @@ class PlanSpec extends SparkSpec {
       s"w9 reintroduced a global window:\n${p.take(1200)}")
   }
 
+  test("w2 scale twin: gap sessions without any Window operator") {
+    import spark.implicits._
+    val ev = (1L to 100L).map(i => (i, i * 1000000000L)).toDF("event_id", "ts")
+    val p = graft.ops.Windows.gapSessionsScalable(ev, "event_id", "ts")
+      .queryExecution.executedPlan.toString
+    // the scalable form numbers rows via range sort + broadcast offsets and
+    // finds the next group by a grp-1 self-join — no WindowExec anywhere,
+    // so no single-partition task at any input size
+    assert(!p.contains("Window"),
+      s"w2 scale twin reintroduced a window:\n${p.take(1200)}")
+  }
+
+  test("t6/t8/em1: candidate generation never falls back to an all-pairs product") {
+    // LSH banding (t6), the two-stage verify built on it (t8) and the
+    // blocked closest-pair (em1) all generate pairs by bucket equi-joins
+    // with bounded per-task fan-out — a CartesianProduct or
+    // BroadcastNestedLoopJoin in any of them is the O(n²) cliff at scale
+    for (q <- Seq("t6_near_dup_candidates", "t8_jaccard_verify",
+        "em1_blocked_closest_pair")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q fell back to an all-pairs product:\n${p.take(1200)}")
+    }
+  }
+
   test("em2: canonical dedup is a codegen'd hash aggregate with map-side partial") {
     val p = plan("em2_cosine_near_dup")
     // the min(va)-per-vb reduction must be a plain HashAggregate (codegen,
