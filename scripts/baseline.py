@@ -7,8 +7,19 @@ that file and prints per-query spark/duckdb ratios so "within 2x of the
 local baseline" is mechanically checkable.
 
 Usage: python3 scripts/baseline.py <sfDir> <verifyOutDir> [outJson]
+
+Env:
+  SPARK_GRAFT_SKIP_ORACLES     — comma-separated query names to skip
+                                 (O(n^2) oracles at huge scale points).
+  SPARK_GRAFT_SINGLE_RUN_SEC   — if the first (warmup) run of a query
+                                 exceeds this many seconds, record that
+                                 run's time and move on instead of the
+                                 usual warm best-of-2 (variance on
+                                 minutes-long scans is small; re-running
+                                 them triples the wall cost). Default 30.
 """
 import json
+import os
 import sys
 import time
 
@@ -26,11 +37,26 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    skip = {s for s in os.environ.get(
+        "SPARK_GRAFT_SKIP_ORACLES", "").split(",") if s}
+    single_run_sec = float(os.environ.get("SPARK_GRAFT_SINGLE_RUN_SEC", "30"))
     times = {}
     for name, sql in sorted(oracle.items()):
-        # warm once (page cache, catalog), then time the better of 2 runs
+        if name in skip:
+            print(f"{name}: SKIP (SPARK_GRAFT_SKIP_ORACLES)")
+            continue
+        # warm once (page cache, catalog), then time the better of 2 runs;
+        # if even the warmup exceeds single_run_sec, its own (cold) time
+        # stands — variance on minutes-long scans is small, and a cold run
+        # can only overstate the DuckDB time it is credited with
         try:
+            t0 = time.perf_counter()
             con.sql(sql).fetchall()
+            warm_dt = time.perf_counter() - t0
+            if warm_dt > single_run_sec:
+                times[name] = round(warm_dt, 4)
+                print(f"{name}: {times[name]} s (single cold run)")
+                continue
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -43,8 +69,10 @@ def main():
             print(f"{name}: SKIP ({e})", file=sys.stderr)
     payload = {"sf_dir": sf_dir, "engine": "duckdb",
                "engine_version": duckdb.__version__,
-               "note": "per-query wall seconds, best of 2 after warmup, "
+               "note": "per-query wall seconds, best of 2 after warmup "
+                       f"(single cold run if warmup > {single_run_sec:g} s), "
                        "single-threaded-engine defaults",
+               "skipped": sorted(skip),
                "queries": times}
     with open(out_json, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)

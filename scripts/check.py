@@ -5,8 +5,15 @@ oracle_sql.json in DuckDB against the sf parquet tables and compares with
 the Spark result parquet written by graft.Verify.
 
 Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
+
+Env: SPARK_GRAFT_SKIP_ORACLES — comma-separated query names to skip
+(reported as SKIP, not counted as fail). Used at huge scale points where
+an O(n^2) single-node oracle (em1/em2) would take hours in DuckDB while
+the Spark side stays sub-second; correctness for those is pinned at the
+smaller scale points instead.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -30,9 +37,15 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    skip = {s for s in os.environ.get(
+        "SPARK_GRAFT_SKIP_ORACLES", "").split(",") if s}
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
+            continue
+        if name in skip:
+            print(f"SKIP {name} (SPARK_GRAFT_SKIP_ORACLES)")
+            n_skip += 1
             continue
         try:
             want = canon(con, con.sql(sql))
@@ -68,7 +81,7 @@ def main():
             continue
         print(f"PASS {name} ({len(want)} rows)")
         n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skip ==")
     sys.exit(1 if n_fail else 0)
 
 
