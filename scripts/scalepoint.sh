@@ -23,6 +23,10 @@ TAG="${3:-sf1}"
 SRC="${SPARK_GRAFT_SRC_SF:-/root/testdata/sf0.1}"
 VERIFY_DIR="scratch/verify_${TAG}"
 CPUS="${SPARK_GRAFT_CPUS:-32}"
+# local[32] with the dev default 8g heap is undersized for mult>=30
+# points (a real cluster has tens of GB per executor times N executors);
+# 32g leaves >90g for the OS page cache / the DuckDB baseline stage.
+export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-32g}"
 
 if [ ! -f "${SF_DIR}/lineitem.parquet" ]; then
   echo "== datagen: ${SRC} x${MULT} -> ${SF_DIR} =="

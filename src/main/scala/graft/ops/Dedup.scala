@@ -59,7 +59,12 @@ object Dedup {
         .as(Seq("b", "bk")))
     val a = bandRows.select(col(idCol).as("doc_a"), col("b"), col("bk"))
     val b = bandRows.select(col(idCol).as("doc_b"), col("b"), col("bk"))
-    a.join(b, Seq("b", "bk"))
+    // Both sides are the whole corpus's band rows — never broadcastable
+    // at scale, so pin the bucket join to a shuffled hash join on
+    // (b, bk): per-task build is corpus/numPartitions rows, and a hot
+    // bucket contributes only its own rows to the build (the pair
+    // blow-up happens streaming-side, row by row).
+    a.join(b.hint("shuffle_hash"), Seq("b", "bk"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()

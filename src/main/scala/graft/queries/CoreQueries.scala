@@ -40,22 +40,29 @@ object CoreQueries {
     },
 
     // S3 (plumbing): expression-only binary metadata over a binaryFile
-    // scan — length, magic bytes, full-content checksum — the content
+    // scan — length, magic bytes, content fingerprint — the content
     // column flows through codegen'd expressions only (the decode itself
     // is the documented stub, Multimodal/Codecs). DuckDB 1.0 has no
-    // md5(BLOB), so both engines checksum the hex encoding: byte-exact
-    // content equality either way.
+    // md5(BLOB), so both engines checksum the hex encoding. The digest is
+    // BOUNDED to the first 1 MiB (rsync-style prefix fingerprint + exact
+    // length): hex() doubles the payload, so an unbounded digest of a
+    // multi-GB file would overflow the JVM's 2 GB array cap — Spark
+    // substrings the *binary* first and hexes only the bounded prefix, so
+    // the post-projection sort moves ~100-byte rows instead of whole
+    // blobs. DuckDB can't slice BLOBs, so the oracle bounds the same
+    // digest as substring(hex(content), 1, 2N) — hex-of-prefix ==
+    // prefix-of-hex, only the oracle pays for the full hex.
     QueryDef("s3_binary_meta",
       """SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
         |  size AS length,
         |  substring(hex(content), 1, 8) AS magic_hex,
-        |  md5(hex(content)) AS content_md5
+        |  md5(substring(hex(content), 1, 2097152)) AS content_md5
         |FROM read_blob('{SF_DIR}/*.parquet') ORDER BY file""") { (s, d) =>
       Sources.binaryScan(s, d)
         .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
           col("length"),
-          substring(hex(col("content")), 1, 8).as("magic_hex"),
-          md5(hex(col("content"))).as("content_md5"))
+          hex(substring(col("content"), 1, 4)).as("magic_hex"),
+          md5(hex(substring(col("content"), 1, 1048576))).as("content_md5"))
         .orderBy("file")
     },
 

@@ -250,9 +250,20 @@ object TextQueries {
         .union(cand.select(col("doc_b").as("doc_id"))).distinct()
       val expl = sh.join(candDocs, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), explode(col("shset")).as("s"))
+      // Both sides of the intersection joins scale with the corpus —
+      // candidate pairs grow ~quadratically with the duplication factor
+      // (sf1: 296k pairs, sf3: 2.8M, sf10: ~32M) and the exploded
+      // candidate shingles grow linearly — so force shuffled hash joins:
+      // at sf10 the static planner's size underestimate chose to
+      // BROADCAST the exploded-shingle subtree (~25M string rows) and
+      // blew the driver heap. The hinted shape hash-partitions both
+      // sides; per-task build = |expl|/numPartitions, balanced because
+      // shingle counts per doc are bounded.
       val inter = cand
-        .join(expl.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-        .join(expl.select(col("doc_id").as("doc_b"), col("s")),
+        .join(expl.select(col("doc_id").as("doc_a"), col("s"))
+          .hint("shuffle_hash"), "doc_a")
+        .join(expl.select(col("doc_id").as("doc_b"), col("s"))
+          .hint("shuffle_hash"),
           Seq("doc_b", "s"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("ninter"))

@@ -29,7 +29,13 @@ object WindowQueries {
 
     // W2: lead/lag gap detection between consecutive full groups of 5 —
     // the reference's missing-pose check (point3d_transformation.py:11-62,
-    // 12 s threshold; both groups must be full, :26-46).
+    // 12 s threshold; both groups must be full, :26-46). The declared
+    // query runs the scale-safe form (range-partitioned numbering + grp+1
+    // self-join — no single-task Window anywhere, pinned in PlanSpec);
+    // Windows.gapSessions is the faithful single-window original, proven
+    // row-identical in OpsSpec. At 20M+ events the faithful form funnels
+    // the whole table through one window task; the scalable form keeps
+    // every stage at the session's parallelism.
     QueryDef("w2_gap_sessions",
       """WITH ordered AS (
         |  SELECT epoch_ns(ts) AS tsn,
@@ -50,7 +56,7 @@ object WindowQueries {
         |WHERE n = 5 AND next_n = 5
         |  AND next_start_ns - end_ns > 12000000000
         |ORDER BY group_id""") { (s, d) =>
-      Windows.gapSessions(eventsUsGrid(s, d), "event_id", "ts")
+      Windows.gapSessionsScalable(eventsUsGrid(s, d), "event_id", "ts")
     },
 
     // W3: top-k by value desc — 10 worst poses by mean error
