@@ -191,6 +191,15 @@ class PlanSpec extends SparkSpec {
         !p.contains("BroadcastNestedLoopJoin"),
         s"$q fell back to an all-pairs product:\n${p.take(1200)}")
     }
+    // the corpus-sized joins (band self-join; t8's intersection joins)
+    // must be SHUFFLED hash joins, not broadcasts: at a 100x scale point
+    // the static planner underestimated the exploded candidate-shingle
+    // subtree and broadcast ~25M string rows into the driver
+    for (q <- Seq("t6_near_dup_candidates", "t8_jaccard_verify")) {
+      val p = plan(q)
+      assert(p.contains("ShuffledHashJoin"),
+        s"$q lost its shuffled-hash bucket join:\n${p.take(1200)}")
+    }
   }
 
   test("em2: canonical dedup is a codegen'd hash aggregate with map-side partial") {
