@@ -23,9 +23,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(con, rel):
-    """DataFrame with columns sorted by name, values normalized."""
-    df = rel.fetchdf()
-    df = df[sorted(df.columns)]
+    """DataFrame with columns sorted by name and rows in a canonical
+    total order (ORDER BY every column, name-sorted). Each query's own
+    ORDER BY is already total, but the Spark dump may be written as
+    multiple part files at natural parallelism (SPARK_GRAFT_DUMP_COALESCE=0
+    at scale points) and a parallel glob read does not preserve global
+    order — so both sides are re-sorted the same way, keeping the compare
+    an exact schema + row-multiset equality either way."""
+    cols = ", ".join(f'"{c}"' for c in sorted(rel.columns))
+    df = rel.project(cols).order(cols).fetchdf()
     return df
 
 

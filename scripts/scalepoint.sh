@@ -27,6 +27,9 @@ CPUS="${SPARK_GRAFT_CPUS:-32}"
 # points (a real cluster has tens of GB per executor times N executors);
 # 32g leaves >90g for the OS page cache / the DuckDB baseline stage.
 export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-32g}"
+# Dump at natural write parallelism: a coalesce(1) dump of a 60M-row
+# result is a single-core hour; check.py canonicalizes row order itself.
+export SPARK_GRAFT_DUMP_COALESCE="${SPARK_GRAFT_DUMP_COALESCE:-0}"
 
 if [ ! -f "${SF_DIR}/lineitem.parquet" ]; then
   echo "== datagen: ${SRC} x${MULT} -> ${SF_DIR} =="

@@ -19,10 +19,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Dumps default to one part file: the driver's sf0.01 gate compares
+    // rows positionally, so the file must carry the query's ORDER BY.
+    // At builder scale points a single-task write of a 60M-row result is
+    // the whole wall clock (one core, everything else idle) —
+    // SPARK_GRAFT_DUMP_COALESCE=0 keeps the write at natural parallelism
+    // and scripts/check.py canonicalizes row order on both sides instead.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_DUMP_COALESCE", "1").toInt
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only(name)) {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        try {
+          val df = fn(spark, sfDir)
+          (if (parts > 0) df.coalesce(parts) else df)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        }
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
