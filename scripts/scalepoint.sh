@@ -40,7 +40,10 @@ fi
 
 echo "== verify: dumping all queries at ${SF_DIR} =="
 rm -rf "${VERIFY_DIR}"
-sbt "runMain graft.Verify ${SF_DIR} ${VERIFY_DIR}"
+# SPARK_GRAFT_CPUS must reach the Verify JVM too — its default is
+# local[4] (the driver's modest sf0.01 gate), which at sf10 left 28 of
+# 32 cores idle for the whole dump stage
+SPARK_GRAFT_CPUS="${CPUS}" sbt "runMain graft.Verify ${SF_DIR} ${VERIFY_DIR}"
 
 echo "== check: DuckDB oracle compare (must be all-pass) =="
 python3 scripts/check.py "${SF_DIR}" "${VERIFY_DIR}"
