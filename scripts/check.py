@@ -11,7 +11,15 @@ Env: SPARK_GRAFT_SKIP_ORACLES — comma-separated query names to skip
 an O(n^2) single-node oracle (em1/em2) would take hours in DuckDB while
 the Spark side stays sub-second; correctness for those is pinned at the
 smaller scale points instead.
+
+Memory: at mult>=100 scale points single results reach 30-50M rows. One
+long-lived connection plus whole-frame astype(str) compares exhausted
+128 GB at sf10 (every query after the high-water mark failed with malloc
+errors), so each query now gets a fresh connection (drops DuckDB's
+buffer pool), the value compare runs column-at-a-time, and frames are
+freed eagerly.
 """
+import gc
 import json
 import os
 import sys
@@ -31,17 +39,69 @@ def canon(con, rel):
     order — so both sides are re-sorted the same way, keeping the compare
     an exact schema + row-multiset equality either way."""
     cols = ", ".join(f'"{c}"' for c in sorted(rel.columns))
-    df = rel.project(cols).order(cols).fetchdf()
-    return df
+    return rel.project(cols).order(cols).fetchdf()
+
+
+def compare(name, want, got):
+    """Exact value compare (mirrors the driver's hash of values), one
+    column at a time so peak memory is two string arrays of a single
+    column, not two stringified copies of the whole frame."""
+    import numpy as np
+    for c in want.columns:
+        aw = want[c].astype(str).values
+        ag = got[c].astype(str).values
+        neq = aw != ag
+        if neq.any():
+            r = int(np.argwhere(neq)[0][0])
+            print(f"FAIL {name}: first diff col {c} row {r}: "
+                  f"want={want.iloc[r][c]!r} got={got.iloc[r][c]!r} "
+                  f"({int(neq.sum())} cells differ in this column)")
+            return False
+        del aw, ag, neq
+    return True
+
+
+def run_one(sf_dir, out_dir, name, sql):
+    """One query under a fresh connection; returns 'pass'/'fail'."""
+    con = duckdb.connect()
+    try:
+        # leave headroom for the python-side frames, and give DuckDB a
+        # spill path (in-memory connections otherwise can't offload)
+        con.execute("SET memory_limit='70GB'")
+        con.execute("SET temp_directory='scratch/duck_tmp'")
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        try:
+            want = canon(con, con.sql(sql))
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            return "fail"
+        try:
+            got = canon(con, con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
+        except Exception as e:
+            print(f"FAIL {name}: spark result missing: {e}")
+            return "fail"
+        if list(want.columns) != list(got.columns):
+            print(f"FAIL {name}: schema want={list(want.columns)} "
+                  f"got={list(got.columns)}")
+            return "fail"
+        if len(want) != len(got):
+            print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
+            return "fail"
+        if not compare(name, want, got):
+            return "fail"
+        print(f"PASS {name} ({len(want)} rows)")
+        return "pass"
+    finally:
+        con.close()
+        gc.collect()
 
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     skip = {s for s in os.environ.get(
         "SPARK_GRAFT_SKIP_ORACLES", "").split(",") if s}
@@ -53,40 +113,12 @@ def main():
             print(f"SKIP {name} (SPARK_GRAFT_SKIP_ORACLES)")
             n_skip += 1
             continue
-        try:
-            want = canon(con, con.sql(sql))
-        except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
+        sys.stdout.flush()
+        r = run_one(sf_dir, out_dir, name, sql)
+        if r == "pass":
+            n_pass += 1
+        else:
             n_fail += 1
-            continue
-        try:
-            got = canon(con, con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
-        except Exception as e:
-            print(f"FAIL {name}: spark result missing: {e}")
-            n_fail += 1
-            continue
-        if list(want.columns) != list(got.columns):
-            print(f"FAIL {name}: schema want={list(want.columns)} "
-                  f"got={list(got.columns)}")
-            n_fail += 1
-            continue
-        if len(want) != len(got):
-            print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
-            n_fail += 1
-            continue
-        # exact value compare (mirrors the driver's hash of values)
-        neq = (want.astype(str).values != got.astype(str).values)
-        if neq.any():
-            import numpy as np
-            r, c = np.argwhere(neq)[0]
-            print(f"FAIL {name}: first diff row {r} col "
-                  f"{want.columns[c]}: want={want.iloc[r, c]!r} "
-                  f"got={got.iloc[r, c]!r}  ({neq.sum()} cells differ)")
-            n_fail += 1
-            continue
-        print(f"PASS {name} ({len(want)} rows)")
-        n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skip ==")
     sys.exit(1 if n_fail else 0)
 
