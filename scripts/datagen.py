@@ -86,12 +86,13 @@ def main():
                l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
                l_returnflag, l_linestatus, l_shipdate
         FROM '{src}/lineitem.parquet' {rep}""")
-    # events goes through pyarrow: DuckDB reads TIMESTAMP(NANOS) down to
-    # micros and would write TIMESTAMP(MICROS) back, but the Spark side
-    # reads ts via spark.sql.legacy.parquet.nanosAsLong, which only fires
-    # on a NANOS-typed column — so cast back to timestamp[ns] on write.
-    # (Micro-truncation of the VALUES is harmless: every events query
-    # grids to the same us lattice before comparing.)
+    # events goes through pyarrow so the scaled copy PRESERVES the source
+    # file's ts parquet type (µs TIMESTAMP_NTZ in current driver testdata;
+    # was TIMESTAMP(NANOS) through r9 — Tables.events normalizes either
+    # shape to bigint epoch-nanos on read). DuckDB alone would silently
+    # rewrite the type to its own default; matching the driver's data
+    # shape keeps scale-point evidence honest.
+    src_ts_type = pq.read_schema(f"{src}/events.parquet").field("ts").type
     evt = con.sql(f"""
         SELECT event_id + r.i * {n_evt} AS event_id,
                ts + r.i * (INTERVAL 31 DAY) AS ts,
@@ -100,10 +101,10 @@ def main():
         FROM '{src}/events.parquet' {rep}""").arrow()
     ts_idx = evt.schema.get_field_index("ts")
     evt = evt.set_column(
-        ts_idx, pa.field("ts", pa.timestamp("ns")),
-        evt.column("ts").cast(pa.timestamp("ns")))
+        ts_idx, pa.field("ts", src_ts_type),
+        evt.column("ts").cast(src_ts_type))
     pq.write_table(evt, f"{out}/events.parquet")
-    print(f"events: {evt.num_rows} rows")
+    print(f"events: {evt.num_rows} rows (ts type: {src_ts_type})")
     copy("documents", f"""
         SELECT doc_id + r.i * {n_doc} AS doc_id, text, lang, source, n_chars
         FROM '{src}/documents.parquet' {rep}""")

@@ -26,6 +26,9 @@ object Verify {
     // SPARK_GRAFT_DUMP_COALESCE=0 keeps the write at natural parallelism
     // and scripts/check.py canonicalizes row order on both sides instead.
     val parts = sys.env.getOrElse("SPARK_GRAFT_DUMP_COALESCE", "1").toInt
+    // A query that throws must NOT vanish silently (r10 shipped a 4-query
+    // regression that way): record every failure and exit non-zero.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only(name)) {
         try {
@@ -35,6 +38,7 @@ object Verify {
         }
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         }
         // queries that cache (t6/t8's shingle sets, sim3's index) are done
         // with their blocks once dumped; at mult>=30 scale points 67
@@ -65,6 +69,15 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{SF_DIR}", sqlDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failures.size} queries FAILED: ${failures.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -1,6 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's synthetic star schema (TESTDATA.md).
   *
@@ -10,13 +12,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events")
-      // events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-      // timestamp type and refuses the file outright (PARQUET_TYPE_ILLEGAL)
-      // unless it is read as a raw bigint of epoch-nanos. Exact integer
-      // nanos also beat a truncated timestamp for oracle determinism.
+    if (name == "events") {
+      // Every downstream consumer (WindowQueries, Windows, Sessionize, the
+      // DuckDB oracles' epoch_ns) speaks bigint epoch-nanos, so normalize
+      // `ts` here no matter how the parquet file typed it:
+      //  - TIMESTAMP(NANOS): Spark has no ns timestamp and refuses the file
+      //    (PARQUET_TYPE_ILLEGAL) unless nanosAsLong reads it as raw bigint
+      //    epoch-nanos — already the target shape.
+      //  - µs TIMESTAMP_NTZ (current driver testdata): wall-clock micros
+      //    with no zone; diff against the NTZ epoch literal — pure integer
+      //    arithmetic, independent of spark.sql.session.timeZone (an
+      //    implicit NTZ→TIMESTAMP cast would NOT be).
+      //  - µs TIMESTAMP (instant): unix_micros, zone-independent by
+      //    definition.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType => df
+        case TimestampNTZType =>
+          df.withColumn("ts",
+            expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+              * lit(1000L))
+        case TimestampType =>
+          df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+        case other =>
+          sys.error(s"events.ts: unsupported parquet type $other")
+      }
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")

@@ -126,17 +126,21 @@ object AggQueries {
     // the optimizer consumes sum(r^2)).
     // Raw (un-normalized) global double sum: at ~36M terms the partial-agg
     // reassociation error outgrows the 1e-6 rounding grain (seen at sf3:
-    // 98892.912 vs .911995), so this one sums exact DECIMALs — per-term
-    // double→decimal(38,12) is deterministic and decimal addition is
-    // associative, making the result scale- and order-independent.
+    // 98892.912 vs .911995), so the ACCUMULATION is exact DECIMAL(38,12)
+    // (per-term double→decimal is deterministic, decimal addition is
+    // associative → scale- and order-independent). The OUTPUT is the
+    // suite-standard rounded DOUBLE: a raw decimal column hash-mismatched
+    // at the driver's gate in r10 (representation, not value), so both
+    // engines cast the exact sum to double and round to the 1e-6 grain.
     QueryDef("a8_residual_flatten",
       """SELECT CAST(count(*) AS BIGINT) AS n_residuals,
-        |  sum(CAST(r * r AS DECIMAL(38,12))) AS sum_sq
+        |  round(CAST(sum(CAST(r * r AS DECIMAL(38,12))) AS DOUBLE), 6) AS sum_sq
         |FROM (SELECT unnest([l_discount, l_tax]) AS r FROM lineitem)""") { (s, d) =>
       T.lineitem(s, d)
         .select(explode(array(col("l_discount"), col("l_tax"))).as("r"))
         .agg(count(lit(1)).as("n_residuals"),
-          sum((col("r") * col("r")).cast(DecimalType(38, 12))).as("sum_sq"))
+          round(sum((col("r") * col("r")).cast(DecimalType(38, 12)))
+            .cast("double"), 6).as("sum_sq"))
     }
   )
 }
