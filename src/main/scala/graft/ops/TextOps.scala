@@ -205,4 +205,35 @@ object TextOps {
     array_join(
       transform(counts, c => when(c > 0, lit("1")).otherwise(lit("0"))), "")
   }
+
+  /** 64-bit SimHash over a token array, as a 64-char '0'/'1' string
+    * (MSB-first). Same construction as [[simhash32]] but over the md5's
+    * first 16 hex chars, carried as two 32-bit halves so every integer
+    * stays well inside a signed long (conv of 16 hex chars could wrap
+    * negative). Used by the banded near-dup join (Dedup.simhashNearDup):
+    * 64 bits keep a 16-bit band selective enough that bucket sizes stay
+    * bounded at corpus scale, which 32-bit/8-bit banding does not.
+    */
+  def simhash64(toks: Column): Column = {
+    val hs = transform(toks, t => {
+      val h = md5(t)
+      array(conv(substring(h, 1, 8), 16, 10).cast("long"),
+        conv(substring(h, 9, 8), 16, 10).cast("long"))
+    })
+    val counts = aggregate(
+      hs,
+      array_repeat(lit(0L), 64),
+      (acc, pair) =>
+        zip_with(
+          acc,
+          sequence(lit(0L), lit(63L)),
+          (x, j) => {
+            val h = when(j < 32L, element_at(pair, 1))
+              .otherwise(element_at(pair, 2))
+            x + (floor(h / pow(lit(2.0), lit(31L) - j % 32L)).cast("long")
+              % 2L) * 2L - 1L
+          }))
+    array_join(
+      transform(counts, c => when(c > 0, lit("1")).otherwise(lit("0"))), "")
+  }
 }

@@ -356,6 +356,54 @@ object TextQueries {
           TX.winnowFingerprintsFast(col("text"), 8, 4).as("fps"))
         .select(col("doc_id"), posexplode(col("fps")).as(Seq("pos", "fp")))
         .orderBy("doc_id", "pos")
+    },
+
+    // SimHash near-dup JOIN (not just the fingerprint): 64-bit simhash ->
+    // 4 bands of 16 bits -> bucket self-join -> exact Hamming <= 3.
+    // Lossless by pigeonhole (3 flips touch <= 3 of 4 bands), and the
+    // 16-bit buckets keep candidates ~1.5% of all pairs at sf0.01
+    // (1,866 of 124,750; 12 survive the Hamming check). The oracle is
+    // banded too — a brute-force all-pairs oracle is O(n^2) and would
+    // stall the sf1+ scale-point sweeps; banded == brute-force is
+    // instead pinned Spark-side in DedupSpec at sf0.001.
+    QueryDef("t11_simhash_near_dup",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id, md5(t) AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    CASE j % 4
+        |      WHEN 0 THEN (strpos('0123456789abcdef', substr(h, j // 4 + 1, 1)) - 1) // 8 % 2
+        |      WHEN 1 THEN (strpos('0123456789abcdef', substr(h, j // 4 + 1, 1)) - 1) // 4 % 2
+        |      WHEN 2 THEN (strpos('0123456789abcdef', substr(h, j // 4 + 1, 1)) - 1) // 2 % 2
+        |      ELSE (strpos('0123456789abcdef', substr(h, j // 4 + 1, 1)) - 1) % 2
+        |    END AS bit
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS j)),
+        |sums AS (SELECT doc_id, j, sum(bit * 2 - 1) AS c FROM bits GROUP BY doc_id, j),
+        |fp AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN c > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sh
+        |  FROM sums GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, sh, b, substr(sh, CAST(16 * b + 1 AS INT), 16) AS bk
+        |  FROM fp CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.sh AS sha, b.sh AS shb
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk
+        |    AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CASE WHEN substr(sha, CAST(i AS INT), 1) <> substr(shb, CAST(i AS INT), 1)
+        |           THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM cand)
+        |WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""") { (s, d) =>
+      Dedup.simhashNearDup(T.documents(s, d), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
     }
   )
 }

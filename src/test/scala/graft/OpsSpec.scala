@@ -141,6 +141,50 @@ class DedupSpec extends SparkSpec {
     assert(pairs < n * (n - 1) / 2 / 100,
       s"$pairs candidate pairs vs ${n * (n - 1) / 2} possible — banding broken?")
   }
+
+  test("simhashNearDup banded join equals brute-force Hamming<=3 (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    // pigeonhole exactness: the 4x16-bit banded join must find EXACTLY the
+    // pairs a full all-pairs Hamming scan finds — banding loses nothing
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val banded = Dedup.simhashNearDup(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    val fp = docs
+      .select(col("doc_id"), TextOps.tokensLower(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), TextOps.simhash64(col("tk")).as("sh"))
+      .withColumn("hi", conv(substring(col("sh"), 1, 32), 2, 10).cast("long"))
+      .withColumn("lo", conv(substring(col("sh"), 33, 32), 2, 10).cast("long"))
+    val a = fp.select(col("doc_id").as("doc_a"), col("hi").as("hia"),
+      col("lo").as("loa"))
+    val b = fp.select(col("doc_id").as("doc_b"), col("hi").as("hib"),
+      col("lo").as("lob"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("hia").bitwiseXOR(col("hib"))) +
+          bit_count(col("loa").bitwiseXOR(col("lob"))))
+          .cast("bigint").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute,
+      s"banded != brute: only-banded=${banded -- brute} only-brute=${brute -- banded}")
+  }
+
+  test("simhash64 bit order matches conv of the md5 halves (single token)") {
+    import org.apache.spark.sql.functions._
+    // one token: simhash of {t} is exactly the bit pattern of md5(t)'s
+    // first 16 hex chars (each 1-bit majority is the bit itself)
+    val df = Seq("hello", "graft", "x").toDF("t")
+      .select(col("t"), TextOps.simhash64(array(col("t"))).as("sh"),
+        md5(col("t")).as("h"))
+      .select(col("sh"),
+        lpad(conv(substring(col("h"), 1, 8), 16, 2), 32, "0").as("hi"),
+        lpad(conv(substring(col("h"), 9, 8), 16, 2), 32, "0").as("lo"))
+      .as[(String, String, String)].collect()
+    df.foreach { case (sh, hi, lo) =>
+      assert(sh == hi + lo, s"bit order drift: $sh vs $hi$lo")
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

@@ -185,7 +185,7 @@ class PlanSpec extends SparkSpec {
     // with bounded per-task fan-out — a CartesianProduct or
     // BroadcastNestedLoopJoin in any of them is the O(n²) cliff at scale
     for (q <- Seq("t6_near_dup_candidates", "t8_jaccard_verify",
-        "em1_blocked_closest_pair")) {
+        "em1_blocked_closest_pair", "t11_simhash_near_dup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"),
@@ -195,7 +195,8 @@ class PlanSpec extends SparkSpec {
     // must be SHUFFLED hash joins, not broadcasts: at a 100x scale point
     // the static planner underestimated the exploded candidate-shingle
     // subtree and broadcast ~25M string rows into the driver
-    for (q <- Seq("t6_near_dup_candidates", "t8_jaccard_verify")) {
+    for (q <- Seq("t6_near_dup_candidates", "t8_jaccard_verify",
+        "t11_simhash_near_dup")) {
       val p = plan(q)
       assert(p.contains("ShuffledHashJoin"),
         s"$q lost its shuffled-hash bucket join:\n${p.take(1200)}")
