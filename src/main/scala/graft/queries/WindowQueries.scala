@@ -5,11 +5,12 @@ import org.apache.spark.sql.expressions.Window
 import graft.ops.{Windows, Tables => T}
 
 /** Window / sort / top-k family W1–W7 (SURVEY.md §2.5). The events table's
-  * ts column arrives as bigint epoch-nanos (Tables.events), so every time
-  * comparison is exact integer arithmetic — no float truncation near the
-  * gap threshold. DuckDB loses the sub-microsecond tail when it reads the
-  * TIMESTAMP(NANOS) parquet (ns → µs), so the Spark side truncates nanos
-  * to the same µs grid (`ts div 1000 * 1000`) before comparing.
+  * ts column arrives as bigint epoch-nanos (Tables.events normalizes every
+  * parquet ts type to that), so every time comparison is exact integer
+  * arithmetic — no float truncation near the gap threshold. The µs-grid
+  * truncation (`ts div 1000 * 1000`) keeps parity with DuckDB's µs
+  * timestamps for any data shape: a no-op on µs-sourced files, and the
+  * matching truncation when the file is true TIMESTAMP(NANOS).
   */
 object WindowQueries {
 
