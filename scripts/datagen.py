@@ -127,9 +127,10 @@ def main():
                     for r in rows]
         assert norm(a) == norm(b), f"{t} schema drifted: {a} vs {b}"
     # DuckDB's typeof() collapses NANOS on read — check the parquet
-    # schema itself
+    # schema itself: the scaled copy must carry the SOURCE's ts type
     ts_type = pq.read_schema(f"{out}/events.parquet").field("ts").type
-    assert ts_type == pa.timestamp("ns"), f"events.ts is {ts_type}, not ns"
+    src_ts = pq.read_schema(f"{src}/events.parquet").field("ts").type
+    assert ts_type == src_ts, f"events.ts is {ts_type}, source is {src_ts}"
     print(f"schema parity OK; wrote {out} at {mult}x {src}")
 
 
