@@ -162,7 +162,15 @@ object GraftFunctions {
       (
         FunctionIdentifier("normal_eq_agg"),
         new ExpressionInfo(classOf[NormalEqAgg].getName, "normal_eq_agg"),
-        (children: Seq[Expression]) => NormalEqAgg(children)))
+        (children: Seq[Expression]) => NormalEqAgg(children)),
+      (
+        FunctionIdentifier("simhash64"),
+        new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1,
+            "simhash64(tokens) takes exactly 1 argument")
+          SimHash64(children(0))
+        }))
 
   def register(spark: SparkSession): Unit =
     entries.foreach { case (id, info, builder) =>

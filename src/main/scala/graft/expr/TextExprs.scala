@@ -3,7 +3,7 @@ package graft.expr
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
@@ -168,5 +168,78 @@ object MinHashSig {
     }
     if (!any) new GenericArrayData(new Array[Any](k))
     else new GenericArrayData(mins)
+  }
+}
+
+/** Codegen'd 64-bit SimHash: `simhash64(tokens)` → bigint whose bits are
+  * the 64-char '0'/'1' string of `TextOps.simhash64` read MSB-first
+  * (bit string char j == fingerprint bit 63-j; pinned in DedupSpec).
+  *
+  * The HOF form evaluates a 64-wide interpreted zip_with per TOKEN —
+  * ~320M lambda calls for a 50k-doc corpus, 70% of the sf1 bench wall.
+  * This is one compiled pass: md5 once per token, first 8 digest bytes
+  * as one long, 64 primitive count updates per token, and no
+  * string/conv round trip anywhere — the near-dup join then works on
+  * plain long bit ops (shiftrightunsigned bands, bit_count(xor)
+  * Hamming). Null tokens are skipped; an empty array yields 0L (all
+  * majorities at the <=0 boundary), matching the HOF's all-'0' string.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(toks: Any): Any =
+    SimHash64.compute(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks => {
+      s"${ev.value} = graft.expr.SimHash64.compute($toks);"
+    })
+
+  override def prettyName: String = "simhash64"
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def compute(toks: ArrayData): Long = {
+    val md = mdLocal.get()
+    val counts = new Array[Int](64)
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      if (!toks.isNullAt(t)) {
+        md.reset()
+        val d = md.digest(toks.getUTF8String(t).getBytes)
+        // first 8 digest bytes big-endian == first 16 md5 hex chars
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        var j = 0
+        while (j < 64) {
+          counts(j) += (((h >>> (63 - j)) & 1L).toInt << 1) - 1
+          j += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) out |= 1L << (63 - j)
+      j += 1
+    }
+    out
   }
 }

@@ -93,30 +93,32 @@ object Dedup {
     */
   def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, maxHamming: Int = 3): DataFrame = {
-    require(64 % bands == 0, "bands must divide 64")
+    require(bands >= 2 && 64 % bands == 0, "bands must divide 64 (>= 2)")
     require(maxHamming <= bands - 1,
       s"banding is only exact for maxHamming <= bands-1 " +
         s"(got maxHamming=$maxHamming, bands=$bands)")
+    graft.expr.GraftFunctions.register(docs.sparkSession)
     val w = 64 / bands
+    // long fingerprint end to end: codegen'd simhash64, band keys by
+    // shift+mask, Hamming by bit_count(xor) — no string round trips
     val fp = docs
       .select(col(idCol), TextOps.tokensLower(col(textCol)).as("tk"))
       .filter(size(col("tk")) > 0)
-      .select(col(idCol), TextOps.simhash64(col("tk")).as("sh"))
-      // two signed-long halves for the codegen'd Hamming distance
-      .withColumn("hi", conv(substring(col("sh"), 1, 32), 2, 10).cast("long"))
-      .withColumn("lo", conv(substring(col("sh"), 33, 32), 2, 10).cast("long"))
-    val bandRows = fp.select(col(idCol), col("hi"), col("lo"),
+      .select(col(idCol), TextOps.simhash64Fast(col("tk")).as("sh"))
+    val bandRows = fp.select(col(idCol), col("sh"),
       posexplode(array((0 until bands).map(i =>
-        substring(col("sh"), i * w + 1, w)): _*)).as(Seq("b", "bk")))
-    val a = bandRows.select(col(idCol).as("doc_a"), col("hi").as("hia"),
-      col("lo").as("loa"), col("b"), col("bk"))
-    val b = bandRows.select(col(idCol).as("doc_b"), col("hi").as("hib"),
-      col("lo").as("lob"), col("b"), col("bk"))
+        // band i = fingerprint bits [64-w*(i+1), 64-w*i) (MSB-first,
+        // matching substring(bitString, i*w+1, w) of the HOF form)
+        shiftrightunsigned(col("sh"), 64 - w * (i + 1))
+          .bitwiseAND(lit((1L << w) - 1))): _*)).as(Seq("b", "bk")))
+    val a = bandRows.select(col(idCol).as("doc_a"), col("sh").as("sha"),
+      col("b"), col("bk"))
+    val b = bandRows.select(col(idCol).as("doc_b"), col("sh").as("shb"),
+      col("b"), col("bk"))
     a.join(b.hint("shuffle_hash"), Seq("b", "bk"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (bit_count(col("hia").bitwiseXOR(col("hib"))) +
-          bit_count(col("loa").bitwiseXOR(col("lob"))))
+        bit_count(col("sha").bitwiseXOR(col("shb")))
           .cast("bigint").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()

@@ -206,6 +206,14 @@ object TextOps {
       transform(counts, c => when(c > 0, lit("1")).otherwise(lit("0"))), "")
   }
 
+  /** Codegen'd 64-bit SimHash fingerprint as a bigint (one compiled md5 +
+    * bit-count pass per row — the hot-path form; the HOF twin below is the
+    * reference semantics, equality pinned in DedupSpec). Requires
+    * GraftFunctions.register on the session.
+    */
+  def simhash64Fast(toks: Column): Column =
+    call_function("simhash64", toks)
+
   /** 64-bit SimHash over a token array, as a 64-char '0'/'1' string
     * (MSB-first). Same construction as [[simhash32]] but over the md5's
     * first 16 hex chars, carried as two 32-bit halves so every integer

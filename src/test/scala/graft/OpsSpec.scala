@@ -170,6 +170,20 @@ class DedupSpec extends SparkSpec {
       s"banded != brute: only-banded=${banded -- brute} only-brute=${brute -- banded}")
   }
 
+  test("simhash64Fast long equals the HOF bit string on sf0.001") {
+    import org.apache.spark.sql.functions._
+    graft.expr.GraftFunctions.register(spark)
+    val rows = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), TextOps.tokensLower(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(
+        lpad(bin(TextOps.simhash64Fast(col("tk"))), 64, "0").as("fast"),
+        TextOps.simhash64(col("tk")).as("hof"))
+      .as[(String, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (f, h) => assert(f == h, s"fast $f != hof $h") }
+  }
+
   test("simhash64 bit order matches conv of the md5 halves (single token)") {
     import org.apache.spark.sql.functions._
     // one token: simhash of {t} is exactly the bit pattern of md5(t)'s
