@@ -63,6 +63,18 @@ object Windows {
     * partition. The cached blocks are reclaimed by Spark's ContextCleaner
     * as soon as the returned lineage is garbage-collected; callers that
     * want deterministic release can `Windows.unpersistRowNumberCache(df)`.
+    *
+    * The persist is CORRECTNESS-load-bearing, not a cache: RangePartitioner
+    * samples its boundaries with an rdd.id-derived seed, so two plans that
+    * each contain `repartitionByRange` over the same input get DIFFERENT
+    * partition splits — per-partition counts collected from one plan
+    * mis-align with the partitions of another, corrupting the numbering
+    * (observed at sf1 as run-to-run result drift). ReuseExchange cannot be
+    * relied on to unify them either: column pruning specializes each
+    * branch's scan, the canonical plans differ, and the exchanges stay
+    * separate. A pure-DataFrame formulation (monotonically_increasing_id
+    * + per-pid count subtree) was tried and reverted for exactly this
+    * reason; only a materialized single partitioning is safe.
     */
   def withGlobalRowNumbers(df: DataFrame, orderCol: String,
       outCol: String = "rn0"): DataFrame =
