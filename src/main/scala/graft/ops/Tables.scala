@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, lit, unix_micros}
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's synthetic star schema (TESTDATA.md).
   *
@@ -37,6 +37,19 @@ object Tables {
           df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
         case other =>
           sys.error(s"events.ts: unsupported parquet type $other")
+      }
+    } else if (name == "embeddings") {
+      // Same drift-guard idea as events.ts: the vector ops (l2sq_f32,
+      // dot_f32, the IVF index) require array<float>; if the driver's
+      // generator ever re-types the column (float64 parquet would read as
+      // array<double>), normalize on load instead of failing analysis.
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema("embedding").dataType match {
+        case ArrayType(FloatType, _) => df
+        case ArrayType(_, _) =>
+          df.withColumn("embedding", col("embedding").cast("array<float>"))
+        case other =>
+          sys.error(s"embeddings.embedding: unsupported type $other")
       }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }

@@ -111,3 +111,37 @@ object IntrinsicProps extends Properties("intrinsic-linalg") {
     }
   }
 }
+
+/** SimHash64.compute vs an independent reference that goes through the
+  * md5 HEX STRING (parseUnsignedLong) instead of digest-byte shifting —
+  * the two paths only agree if the bit order/endianness is right.
+  */
+object SimHashProps extends Properties("simhash64") {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private val token = Gen.chooseNum(1, 10).flatMap(n =>
+    Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+  private val toks = Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, token))
+
+  private def reference(ts: Seq[String]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](64)
+    ts.foreach { t =>
+      md.reset()
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(16)
+      val h = java.lang.Long.parseUnsignedLong(hex, 16)
+      (0 until 64).foreach(j =>
+        counts(j) += (((h >>> (63 - j)) & 1L).toInt << 1) - 1)
+    }
+    (0 until 64).foldLeft(0L)((acc, j) =>
+      if (counts(j) > 0) acc | (1L << (63 - j)) else acc)
+  }
+
+  property("compute matches the hex-path majority reference") =
+    Prop.forAll(toks) { ts =>
+      val arr = new GenericArrayData(
+        ts.map(t => UTF8String.fromString(t): Any).toArray)
+      graft.expr.SimHash64.compute(arr) == reference(ts)
+    }
+}
