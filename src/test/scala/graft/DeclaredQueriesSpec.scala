@@ -21,6 +21,30 @@ class DeclaredQueriesSpec extends SparkSpec {
       s"\n${failures.size} declared queries fail analysis:\n  ${failures.mkString("\n  ")}")
   }
 
+  test("no declared query falls back to an all-pairs product (sweep)") {
+    // Every CartesianProduct / BroadcastNestedLoopJoin in any of the 68
+    // physical plans is a potential O(n^2) cliff at scale. The allowlist
+    // is the set whose all-pairs shape is BOUNDED BY CONSTRUCTION or
+    // deliberate:
+    //   j5_cross_grid / x13_chessboard_grid / g1_pose_grid — literal
+    //     range grids (5x5x5, 11x8, 3125 rows) independent of data size;
+    //   j6_broadcast_singleton — one-row broadcast side;
+    //   sim1_brute_topk — the documented brute-force ANN baseline (the
+    //     IVF path sim2/sim3 is the scale form).
+    val allowed = Set("j5_cross_grid", "j6_broadcast_singleton",
+      "x13_chessboard_grid", "g1_pose_grid", "sim1_brute_topk")
+    val dir = sf("sf0.001")
+    graft.expr.GraftFunctions.register(spark)
+    val offenders = SparkEntry.allDefs.filterNot(q => allowed(q.name)).flatMap { q =>
+      val p = q.fn(spark, dir).queryExecution.executedPlan.toString
+      val flags = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+        .filter(p.contains)
+      if (flags.nonEmpty) Some(s"${q.name}: ${flags.mkString(",")}") else None
+    }
+    assert(offenders.isEmpty,
+      s"\nall-pairs products outside the allowlist:\n  ${offenders.mkString("\n  ")}")
+  }
+
   test("declared query names are unique and each oracle has a query") {
     val names = SparkEntry.allDefs.map(_.name)
     assert(names.distinct.size == names.size,
