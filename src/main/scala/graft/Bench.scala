@@ -71,6 +71,10 @@ object Bench {
       // the 6M-row lineitem ~7 scan tasks instead of 1 under the 128 MB
       // default. Row groups are ~123k rows, so splits stay effective.
       .config("spark.sql.files.maxPartitionBytes", String.valueOf(16L << 20))
+      // same pin as Verify: declared time queries are zone-independent by
+      // construction (ops/Tables.scala normalizes ts to epoch-nanos), but
+      // the harness states the precondition rather than assuming it
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -100,6 +104,13 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val results = (SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val walls = (1 to reps).flatMap { _ =>
+        // release BEFORE timing, not after: each rep then measures the
+        // full computation (CacheManager matches by logical plan, so
+        // without this reps 2..n of a caching query would silently time
+        // cache hits), and nothing accumulates across the 68-query sweep
+        // (the w2/w9 persisted sort is a fresh RDD per invocation — at
+        // sf10 leaving reps x queries of them resident is real memory)
+        graft.ops.Caches.releaseAll(spark)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {

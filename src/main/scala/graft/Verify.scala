@@ -40,10 +40,11 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         }
-        // queries that cache (t6/t8's shingle sets, sim3's index) are done
-        // with their blocks once dumped; at mult>=30 scale points 67
-        // queries' worth of leftover cache is real memory pressure
-        spark.catalog.clearCache()
+        // queries that cache (t8's shingle set, w2/w9's persisted sort) are
+        // done with their blocks once dumped; at mult>=30 scale points 67
+        // queries' worth of leftover storage is real memory pressure.
+        // releaseAll also unpersists RDD-level caches clearCache misses.
+        graft.ops.Caches.releaseAll(spark)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

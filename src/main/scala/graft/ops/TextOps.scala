@@ -223,7 +223,14 @@ object TextOps {
     * bounded at corpus scale, which 32-bit/8-bit banding does not.
     */
   def simhash64(toks: Column): Column = {
-    val hs = transform(toks, t => {
+    // null-token guard: the codegen twin (SimHash64.compute) SKIPS null
+    // elements, but without this filter a single null token would poison
+    // the aggregate's count array to all-null and yield an all-'0' string
+    // — a silent divergence between the twins. Unreachable via
+    // tokensLower (it never yields null), but the parity contract is
+    // enforced here, not assumed.
+    val nn = filter(toks, t => t.isNotNull)
+    val hs = transform(nn, t => {
       val h = md5(t)
       array(conv(substring(h, 1, 8), 16, 10).cast("long"),
         conv(substring(h, 9, 8), 16, 10).cast("long"))

@@ -57,7 +57,7 @@ object Windows {
     * tiny cumulative-offset array, then number rows per partition — no
     * single-task window. 0-based in `outCol`.
     *
-    * The sorted RDD is persisted (MEMORY_AND_DISK) so the range sort runs
+    * The sorted RDD is persisted (MEMORY_AND_DISK_SER) so the range sort runs
     * ONCE: the count pass materializes the cache and the numbering pass
     * reads it back — without the persist both passes re-sorted every
     * partition. The cached blocks are reclaimed by Spark's ContextCleaner
@@ -90,8 +90,12 @@ object Windows {
     val spark = df.sparkSession
     val oc = orderCols.map(col)
     val sorted = df.repartitionByRange(oc: _*).sortWithinPartitions(oc: _*)
+    // _SER: the cached blocks live exactly as long as the two passes below
+    // plus the caller's action, and deserialized Row caching is ~3-5x the
+    // footprint of the kryo/java-serialized form — at a 100 TB numbering
+    // the deserialized level is the difference between spill and fit
     val sortedRdd = sorted.rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val counts = sortedRdd
       .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
       .collect().sortBy(_._1).map(_._2)
@@ -142,8 +146,11 @@ object Windows {
     // number ONLY the two needed columns: the per-row boxing + persist in
     // the numbering scales with row width, and the events row drags a
     // JSON props string through it otherwise (sf3: w2 6.4s -> 2.9s)
-    val numbered =
-      withGlobalRowNumbers(df.select(orderCol, tsNanosCol), orderCol)
+    // distinct: orderCol == tsNanosCol is legal (ordering by the event
+    // time itself) and a duplicate-name projection would make every
+    // downstream col(tsNanosCol) ambiguous
+    val needed = Seq(orderCol, tsNanosCol).distinct.map(col)
+    val numbered = withGlobalRowNumbers(df.select(needed: _*), orderCol)
     val grouped = numbered
       .withColumn("grp", expr(s"CAST(rn0 div $groupSize AS BIGINT)"))
       .groupBy("grp")

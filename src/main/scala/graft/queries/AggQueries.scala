@@ -132,15 +132,22 @@ object AggQueries {
     // suite-standard rounded DOUBLE: a raw decimal column hash-mismatched
     // at the driver's gate in r10 (representation, not value), so both
     // engines cast the exact sum to double and round to the 1e-6 grain.
+    // Rounding happens in DECIMAL space (round the exact decimal sum to
+    // scale 6, THEN cast to double) on BOTH engines: rounding after a
+    // cast-to-double let each engine round its own nearest-double of the
+    // exact value, and a sum landing exactly on a 5e-7 tie could break
+    // differently per engine. HALF_UP on the exact decimal is
+    // deterministic, and a decimal with scale 6 converts to the same
+    // double everywhere.
     QueryDef("a8_residual_flatten",
       """SELECT CAST(count(*) AS BIGINT) AS n_residuals,
-        |  round(CAST(sum(CAST(r * r AS DECIMAL(38,12))) AS DOUBLE), 6) AS sum_sq
+        |  CAST(round(sum(CAST(r * r AS DECIMAL(38,12))), 6) AS DOUBLE) AS sum_sq
         |FROM (SELECT unnest([l_discount, l_tax]) AS r FROM lineitem)""") { (s, d) =>
       T.lineitem(s, d)
         .select(explode(array(col("l_discount"), col("l_tax"))).as("r"))
         .agg(count(lit(1)).as("n_residuals"),
-          round(sum((col("r") * col("r")).cast(DecimalType(38, 12)))
-            .cast("double"), 6).as("sum_sq"))
+          round(sum((col("r") * col("r")).cast(DecimalType(38, 12))), 6)
+            .cast("double").as("sum_sq"))
     }
   )
 }

@@ -11,6 +11,11 @@ class DeclaredQueriesSpec extends SparkSpec {
 
   test("every declared query analyzes against sf0.001") {
     val dir = sf("sf0.001")
+    // register up front: most query fns self-register the graft functions,
+    // but a future one using call_function without doing so would fail
+    // here order-dependently (pass iff a prior test on the shared session
+    // registered first)
+    graft.expr.GraftFunctions.register(spark)
     val failures = SparkEntry.allDefs.flatMap { q =>
       try { q.fn(spark, dir).queryExecution.analyzed; None }
       catch { case e: Throwable =>
@@ -43,6 +48,25 @@ class DeclaredQueriesSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"\nall-pairs products outside the allowlist:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  test("storage returns to zero after a full declared-query sweep") {
+    // The leak class the harness must not have: query closures that cache
+    // (t8's shingle DF) or persist (w2/w9's sorted RDD) cannot release
+    // after the caller's action, so Verify/Bench call Caches.releaseAll
+    // between queries. This RUNS every declared query (real actions, so
+    // caches actually materialize) with the same release discipline and
+    // asserts the block manager ends empty — a new query that pins
+    // storage with no release path fails here, not at an sf10 scale point.
+    val dir = sf("sf0.001")
+    graft.expr.GraftFunctions.register(spark)
+    SparkEntry.allDefs.foreach { q =>
+      q.fn(spark, dir).count()
+      graft.ops.Caches.releaseAll(spark)
+    }
+    assert(graft.ops.Caches.storageEmpty(spark),
+      "persisted RDDs or cached DataFrames survived releaseAll: " +
+        spark.sparkContext.getPersistentRDDs.keys.mkString(","))
   }
 
   test("declared query names are unique and each oracle has a query") {
