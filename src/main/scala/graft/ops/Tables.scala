@@ -1,57 +1,139 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, lit, unix_micros}
-import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, unix_micros}
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver's synthetic star schema (TESTDATA.md).
   *
   * Every operator in the engine is a `DataFrame => DataFrame` (or a
   * `Column` builder) so it can run both on the 3dptf pose schema and on
   * these TPC-H-ish tables for the DuckDB-oracle checks.
+  *
+  * == Type-drift guard ==
+  *
+  * The driver's datagen has re-typed columns between rounds twice
+  * (events.ts TIMESTAMP(NANOS)→µs NTZ in r10, embeddings.embedding
+  * float→double risk in r11), and each drift broke analysis of every
+  * query touching the column. Rather than guarding columns one by one as
+  * they break, EVERY declared column is normalized through the
+  * `logical` schema map below: whatever physical type the parquet
+  * carries, downstream code always sees the logical type. Unknown extra
+  * columns pass through untouched; a MISSING declared column fails
+  * loudly here (one clear message) instead of as 68 confusing
+  * analysis errors.
+  *
+  * Zone-independence precondition: the `ts` normalization is pure
+  * integer arithmetic for every currently-shipped physical type
+  * (bigint epoch-nanos pass-through; NTZ timestampdiff against an NTZ
+  * epoch literal; instant unix_micros) — none consults
+  * `spark.sql.session.timeZone`, and TablesSpec pins that by loading
+  * under a non-UTC session and asserting identical values. The one
+  * zone-DEPENDENT branch is the drift fallback instant→NTZ cast for
+  * wall-clock columns (`o_orderdate`/`l_shipdate` if datagen ever
+  * re-types them as instants): that cast renders in the session zone,
+  * which Verify/Bench pin to UTC.
   */
 object Tables {
+
+  /** Logical column type the engine promises downstream, independent of
+    * how the driver's generator typed the parquet this round.
+    */
+  private sealed trait LType
+  /** bigint epoch-nanos — what every time consumer (WindowQueries,
+    * Windows, Sessionize, the oracles' epoch_ns) speaks. */
+  private case object TsNanos extends LType
+  /** wall-clock timestamp with no zone (TIMESTAMP_NTZ). */
+  private case object TsNtz extends LType
+  private final case class Plain(dt: DataType) extends LType
+
+  private val I = Plain(IntegerType)
+  private val L = Plain(LongType)
+  private val D = Plain(DoubleType)
+  private val S = Plain(StringType)
+  private val VecF = Plain(ArrayType(FloatType))
+
+  private val logical: Map[String, Seq[(String, LType)]] = Map(
+    "region" -> Seq("r_regionkey" -> I, "r_name" -> S),
+    "nation" -> Seq("n_nationkey" -> I, "n_name" -> S, "n_regionkey" -> I),
+    "customer" -> Seq("c_custkey" -> L, "c_name" -> S, "c_nationkey" -> I,
+      "c_acctbal" -> D, "c_mktsegment" -> S),
+    "supplier" -> Seq("s_suppkey" -> L, "s_name" -> S, "s_nationkey" -> I,
+      "s_acctbal" -> D),
+    "part" -> Seq("p_partkey" -> L, "p_name" -> S, "p_brand" -> S,
+      "p_type" -> S, "p_size" -> I, "p_retailprice" -> D),
+    "orders" -> Seq("o_orderkey" -> L, "o_custkey" -> L,
+      "o_orderstatus" -> S, "o_totalprice" -> D, "o_orderdate" -> TsNtz,
+      "o_orderpriority" -> S),
+    "lineitem" -> Seq("l_orderkey" -> L, "l_partkey" -> L, "l_suppkey" -> L,
+      "l_linenumber" -> I, "l_quantity" -> D, "l_extendedprice" -> D,
+      "l_discount" -> D, "l_tax" -> D, "l_returnflag" -> S,
+      "l_linestatus" -> S, "l_shipdate" -> TsNtz),
+    "events" -> Seq("event_id" -> L, "ts" -> TsNanos, "user_id" -> L,
+      "event_type" -> S, "value" -> D, "props" -> S),
+    "documents" -> Seq("doc_id" -> L, "text" -> S, "lang" -> S,
+      "source" -> S, "n_chars" -> L),
+    "embeddings" -> Seq("vec_id" -> L, "embedding" -> VecF, "label" -> I))
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // Every downstream consumer (WindowQueries, Windows, Sessionize, the
-      // DuckDB oracles' epoch_ns) speaks bigint epoch-nanos, so normalize
-      // `ts` here no matter how the parquet file typed it:
-      //  - TIMESTAMP(NANOS): Spark has no ns timestamp and refuses the file
-      //    (PARQUET_TYPE_ILLEGAL) unless nanosAsLong reads it as raw bigint
-      //    epoch-nanos — already the target shape.
-      //  - µs TIMESTAMP_NTZ (current driver testdata): wall-clock micros
-      //    with no zone; diff against the NTZ epoch literal — pure integer
-      //    arithmetic, independent of spark.sql.session.timeZone (an
-      //    implicit NTZ→TIMESTAMP cast would NOT be).
-      //  - µs TIMESTAMP (instant): unix_micros, zone-independent by
-      //    definition.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      df.schema("ts").dataType match {
-        case LongType => df
-        case TimestampNTZType =>
-          df.withColumn("ts",
-            expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
-              * lit(1000L))
-        case TimestampType =>
-          df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
-        case other =>
-          sys.error(s"events.ts: unsupported parquet type $other")
+    // TIMESTAMP(NANOS) columns are otherwise unreadable — Spark has no
+    // nanosecond timestamp and refuses the file (PARQUET_TYPE_ILLEGAL);
+    // with nanosAsLong they arrive as raw bigint epoch-nanos and
+    // normalize() maps that to the logical type
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    logical.get(name).fold(df)(cols => normalize(df, name, cols))
+  }
+
+  private def normalize(df: DataFrame, table: String,
+      cols: Seq[(String, LType)]): DataFrame = {
+    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val fixes = cols.flatMap { case (c, want) =>
+      have.get(c) match {
+        case None => sys.error(
+          s"$table.$c: column missing from parquet (datagen drift? " +
+            s"present: ${df.schema.fieldNames.mkString(", ")})")
+        case Some(got) => fix(table, c, want, got).map(c -> _)
       }
-    } else if (name == "embeddings") {
-      // Same drift-guard idea as events.ts: the vector ops (l2sq_f32,
-      // dot_f32, the IVF index) require array<float>; if the driver's
-      // generator ever re-types the column (float64 parquet would read as
-      // array<double>), normalize on load instead of failing analysis.
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      df.schema("embedding").dataType match {
-        case ArrayType(FloatType, _) => df
-        case ArrayType(_, _) =>
-          df.withColumn("embedding", col("embedding").cast("array<float>"))
-        case other =>
-          sys.error(s"embeddings.embedding: unsupported type $other")
-      }
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+    fixes.foldLeft(df) { case (d, (c, e)) => d.withColumn(c, e) }
+  }
+
+  /** None = already the logical type; Some(expr) = the normalizing cast.
+    * Unexpected physical types fail loudly (better one clear message at
+    * load than 68 downstream analysis errors).
+    */
+  private def fix(table: String, c: String, want: LType,
+      got: DataType): Option[Column] = (want, got) match {
+    case (TsNanos, LongType) => None // nanosAsLong already = epoch-nanos
+    case (TsNanos, TimestampNTZType) =>
+      // wall-clock micros, no zone: diff against the NTZ epoch literal —
+      // pure integer arithmetic, independent of session.timeZone (an
+      // implicit NTZ→TIMESTAMP cast would NOT be)
+      Some(expr(s"timestampdiff(MICROSECOND, " +
+        s"TIMESTAMP_NTZ '1970-01-01 00:00:00', $c) * 1000"))
+    case (TsNanos, TimestampType) =>
+      // instant micros: unix_micros is zone-independent by definition
+      Some(unix_micros(col(c)) * 1000L)
+    case (TsNtz, TimestampNTZType) => None
+    case (TsNtz, LongType) =>
+      // the only Long a timestamp column produces today is the
+      // nanosAsLong read of TIMESTAMP(NANOS) — epoch-nanos
+      Some(expr(s"timestampadd(MICROSECOND, CAST($c div 1000 AS BIGINT), " +
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+    case (TsNtz, TimestampType | DateType) =>
+      Some(col(c).cast(TimestampNTZType)) // zone-dependent: UTC pinned
+    case (Plain(dt), got2) if got2 == dt => None
+    case (Plain(ArrayType(et, _)), ArrayType(_, _)) =>
+      Some(col(c).cast(ArrayType(et)))
+    case (Plain(dt), _: NumericType) if dt.isInstanceOf[NumericType] =>
+      Some(col(c).cast(dt))
+    case (Plain(StringType), o)
+        if !o.isInstanceOf[ArrayType] && !o.isInstanceOf[StructType] &&
+          !o.isInstanceOf[MapType] =>
+      Some(col(c).cast(StringType))
+    case _ => sys.error(s"$table.$c: unsupported parquet type $got " +
+      s"for logical $want")
   }
 
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
