@@ -106,8 +106,9 @@ class DataPipelineSpec extends SparkSpec {
     assert(m.width == 64 && m.height == 48) // 4:3 stub geometry preserved
   }
 
-  test("inferStub: broadcast weights, per-PARTITION model init, 640x640 out") {
-    // train.py:5-70's VectorToImage shape: 6-dim pose -> (1,640,640)
+  test("inferImages: broadcast weights, per-PARTITION model init") {
+    // train.py:5-70's VectorToImage at the seeded reduced resolution;
+    // the kernel itself is golden-tested against numpy in MultimodalSpec
     import spark.implicits._
     val poses = spark.range(0, 1000).repartition(8)
       .select(col("id"),
@@ -115,10 +116,12 @@ class DataPipelineSpec extends SparkSpec {
         expr("CAST(id*3 AS DOUBLE)").as("z"), lit(0.1).as("a"),
         lit(0.2).as("b"), lit(0.3).as("c"))
     val inits = spark.sparkContext.longAccumulator("inferInits")
-    val out = Multimodal.inferStub(poses, "id",
-      Seq("x", "y", "z", "a", "b", "c"), initCounter = Some(inits)).collect()
+    val w = Multimodal.V2IWeights.seeded()
+    val out = Multimodal.inferImages(poses, "id",
+      Seq("x", "y", "z", "a", "b", "c"), w, Some(inits)).collect()
     assert(out.length == 1000)
-    assert(out.forall(r => r.width == 640 && r.height == 640))
+    assert(out.forall(r => r.width == w.outSize && r.height == w.outSize))
+    assert(out.forall(r => r.pixels.length == w.outSize * w.outSize))
     assert(out.forall(r => r.mean > 0.0 && r.mean < 1.0), "sigmoid range")
     // the model materializes once per partition, never per row. Spark does
     // not deduplicate accumulator updates from retried/speculative tasks,
@@ -126,9 +129,23 @@ class DataPipelineSpec extends SparkSpec {
     assert(inits.value >= 8 && inits.value < 1000,
       s"expected ~8 partition inits (one per partition), got ${inits.value}")
     // deterministic: same weights, same input, same output
-    val again = Multimodal.inferStub(poses, "id",
-      Seq("x", "y", "z", "a", "b", "c")).collect()
+    val again = Multimodal.inferImages(poses, "id",
+      Seq("x", "y", "z", "a", "b", "c"), w).collect()
     assert(out.sortBy(_.id).map(_.mean).toSeq ==
       again.sortBy(_.id).map(_.mean).toSeq)
+  }
+
+  test("inferImages produces the reference's full (640,640) shape") {
+    // the architecture scales to train.py's native resolution — prove it
+    // on a couple of rows (full-res pixel planes are 409,600 floats each)
+    import spark.implicits._
+    val poses = Seq((0L, 0.5, -1.0, 2.0, 0.1, 0.2, 0.3),
+      (1L, -0.5, 1.0, -2.0, 0.3, 0.2, 0.1))
+      .toDF("id", "x", "y", "z", "a", "b", "c")
+    val w = Multimodal.V2IWeights.seeded(outSize = 640)
+    val out = Multimodal.inferImages(poses, "id",
+      Seq("x", "y", "z", "a", "b", "c"), w).collect()
+    assert(out.forall(r => r.width == 640 && r.height == 640 &&
+      r.pixels.length == 640 * 640))
   }
 }
