@@ -63,9 +63,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dev knob for floor experiments; default = cpus (the shipped shape)
+    val shufP = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufP)
       // single-parquet-file tables (the sf1 scale point is one ~100 MB
       // file per table) must still scan in parallel: 16 MB splits give
       // the 6M-row lineitem ~7 scan tasks instead of 1 under the 128 MB

@@ -17,7 +17,8 @@ object SparkEntry {
     WindowQueries.defs ++
     GeoQueries.defs ++
     TextQueries.defs ++
-    SimQueries.defs
+    SimQueries.defs ++
+    PixelQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The positional join is the reference's subtlest relational shape

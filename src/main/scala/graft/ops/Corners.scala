@@ -1,0 +1,413 @@
+package graft.ops
+
+/** Pixel-level quad-corner detection — the reference's
+  * `corner_pixel_extract` (pixel_processing.py:6-64) re-expressed as a
+  * dependency-free Scala kernel over a grayscale raster:
+  *
+  *   gray → 5×5 Gaussian blur → threshold(50) → 5×5 morphological close
+  *        → external contours → approxPolyDP(ε = 0.02·perimeter)
+  *        → keep quadrilaterals → order corners TL/TR/BR/BL.
+  *
+  * Fidelity notes (documented divergences from the OpenCV calls the
+  * reference makes — each is behavior OpenCV itself leaves unspecified or
+  * that cannot change the detected corner set):
+  *  - GaussianBlur((5,5), σ=0): OpenCV resolves σ=0 over a ksize≤7 kernel
+  *    to the fixed binomial tap [1,4,6,4,1]/16 (getGaussianKernel's
+  *    small_gaussian_tab); we apply it separably with a single final
+  *    rounding, border BORDER_REFLECT_101 (OpenCV's default). Exact .5
+  *    ties round half-up here vs cvRound's half-to-even — a ±1 gray-level
+  *    difference only possible on an exact tie, which the 0/255 synthetic
+  *    and the 50-threshold make immaterial.
+  *  - findContours(RETR_EXTERNAL, CHAIN_APPROX_SIMPLE): same contour SET
+  *    (one outer border per 8-connected component, straight runs
+  *    compressed to endpoints) via component labeling + Moore tracing;
+  *    starting vertex / winding may differ from Suzuki-Abe's. Downstream
+  *    is invariant: arcLength is cyclic, approxPolyDP is geometric, and
+  *    the final corner ordering re-sorts by x+y / x−y.
+  *  - approxPolyDP(closed): Douglas-Peucker with the standard
+  *    farthest-point-pair split for closed curves; OpenCV's heuristic for
+  *    the initial split differs but both return the quad's 4 extreme
+  *    vertices once ε (≈24 px at the reference's peri>1000 gate) exceeds
+  *    the pixel-chamfer scale.
+  *
+  * Faithfully kept reference behaviors: the peri>1000 gate BEFORE
+  * approximation, the len==4 quad filter, the accumulation of `points`
+  * ACROSS matching contours (pixel_processing.py:13,40 never resets the
+  * list — with several quads in frame the final sort mixes them), and the
+  * Python-sorted tie semantics (stable sort: [0] = first minimal in
+  * traversal order, [-1] = LAST maximal).
+  */
+object Corners {
+
+  /** One detected quad corner set, ordered TL, TR, BR, BL
+    * (pixel_processing.py:57-63: min x+y, max x−y, max x+y, min x−y).
+    */
+  final case class Quad(
+      tlX: Int, tlY: Int, trX: Int, trY: Int,
+      brX: Int, brY: Int, blX: Int, blY: Int)
+
+  /** 5×5 binomial blur ([1,4,6,4,1]/16 per axis), BORDER_REFLECT_101,
+    * one rounding at the end: out = (Σ wᵢwⱼ·I + 128) >> 8.
+    * Input/output: row-major 0..255 ints.
+    */
+  def gaussianBlur5(src: Array[Int], w: Int, h: Int): Array[Int] = {
+    val wts = Array(1, 4, 6, 4, 1)
+    @inline def refl(i: Int, n: Int): Int =
+      if (i < 0) -i else if (i >= n) 2 * n - 2 - i else i
+    // horizontal pass, unnormalized (fits: 255*16*16 < 2^31)
+    val tmp = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val row = y * w
+      var x = 0
+      while (x < w) {
+        var acc = 0
+        var k = -2
+        while (k <= 2) { acc += wts(k + 2) * src(row + refl(x + k, w)); k += 1 }
+        tmp(row + x) = acc
+        x += 1
+      }
+      y += 1
+    }
+    val dst = new Array[Int](w * h)
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var acc = 0
+        var k = -2
+        while (k <= 2) { acc += wts(k + 2) * tmp(refl(y + k, h) * w + x); k += 1 }
+        dst(y * w + x) = (acc + 128) >> 8
+        x += 1
+      }
+      y += 1
+    }
+    dst
+  }
+
+  /** THRESH_BINARY at 50: strictly-greater, as cv2.threshold. */
+  def threshold(src: Array[Int], thresh: Int): Array[Boolean] =
+    src.map(_ > thresh)
+
+  /** Morphological close with the 5×5 all-ones structuring element:
+    * dilate (any on in window; off-padding) then erode (all on in window;
+    * on-padding) — OpenCV's border convention, so the frame edge neither
+    * grows nor eats the shape.
+    */
+  def close5(src: Array[Boolean], w: Int, h: Int): Array[Boolean] = {
+    // separable: a 5×5 rect max/min = 1×5 then 5×1
+    def pass(in: Array[Boolean], dilate: Boolean): Array[Boolean] = {
+      val mid = new Array[Boolean](w * h)
+      var y = 0
+      while (y < h) {
+        val row = y * w
+        var x = 0
+        while (x < w) {
+          var v = !dilate
+          var k = math.max(0, x - 2)
+          val hi = math.min(w - 1, x + 2)
+          while (k <= hi) {
+            if (dilate) v ||= in(row + k) else v &&= in(row + k)
+            k += 1
+          }
+          mid(row + x) = v
+          x += 1
+        }
+        y += 1
+      }
+      val out = new Array[Boolean](w * h)
+      y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var v = !dilate
+          var k = math.max(0, y - 2)
+          val hi = math.min(h - 1, y + 2)
+          while (k <= hi) {
+            if (dilate) v ||= mid(k * w + x) else v &&= mid(k * w + x)
+            k += 1
+          }
+          out(y * w + x) = v
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    pass(pass(src, dilate = true), dilate = false)
+  }
+
+  // Moore neighborhood, visually clockwise in image coords (y down):
+  // E, SE, S, SW, W, NW, N, NE
+  private val DX = Array(1, 1, 0, -1, -1, -1, 0, 1)
+  private val DY = Array(0, 1, 1, 1, 0, -1, -1, -1)
+
+  /** Outer border of each 8-connected on-component, straight 8-direction
+    * runs compressed to their endpoints (CHAIN_APPROX_SIMPLE). Components
+    * are found by labeling, borders by Moore tracing from each
+    * component's topmost-leftmost pixel (entered from the W, which is
+    * provably off for that pixel). Components are emitted in raster order
+    * of their seed — the same outer-contour SET Suzuki-Abe yields for
+    * RETR_EXTERNAL on non-nested scenes. (Divergence: an island component
+    * inside another component's hole is emitted here but pruned by
+    * RETR_EXTERNAL's hierarchy walk; the reference's scenes — one bright
+    * sample on a dark ground — have no nesting.)
+    */
+  def externalContours(bin: Array[Boolean], w: Int, h: Int): Seq[Array[(Int, Int)]] = {
+    val label = new Array[Int](w * h) // 0 = unlabeled/off
+    var next = 0
+    val seeds = Vector.newBuilder[(Int, Int)]
+    val stack = new java.util.ArrayDeque[Int]()
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        if (bin(i) && label(i) == 0) {
+          next += 1
+          seeds += ((x, y))
+          label(i) = next
+          stack.push(i)
+          while (!stack.isEmpty) {
+            val p = stack.pop()
+            val px = p % w; val py = p / w
+            var d = 0
+            while (d < 8) {
+              val nx = px + DX(d); val ny = py + DY(d)
+              if (nx >= 0 && nx < w && ny >= 0 && ny < h) {
+                val ni = ny * w + nx
+                if (bin(ni) && label(ni) == 0) { label(ni) = next; stack.push(ni) }
+              }
+              d += 1
+            }
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    seeds.result().map { case (sx, sy) =>
+      trace(bin, w, h, sx, sy)
+    }
+  }
+
+  /** Moore-neighbor tracing with Jacob's stopping criterion (stop on
+    * re-entering the start pixel from the start backtrack cell), then
+    * CHAIN_APPROX_SIMPLE compression (drop interior points of straight
+    * 8-direction runs, circularly).
+    */
+  private def trace(bin: Array[Boolean], w: Int, h: Int,
+      sx: Int, sy: Int): Array[(Int, Int)] = {
+    @inline def on(x: Int, y: Int): Boolean =
+      x >= 0 && x < w && y >= 0 && y < h && bin(y * w + x)
+    val pts = Array.newBuilder[(Int, Int)]
+    // backtrack cell: the off pixel we entered the current pixel from.
+    // The seed is the topmost-leftmost pixel of its component, so its W
+    // neighbor is off (an on W neighbor would be same-component,
+    // same-row, further left).
+    var cx = sx; var cy = sy
+    var bx = sx - 1; var by = sy
+    pts += ((sx, sy))
+    var done = false
+    var firstMoveDir = -1
+    val limit = 4 * w * h + 8 // safety bound, unreachable
+    var steps = 0
+    while (!done && steps < limit) {
+      // direction from c to the backtrack cell
+      var d0 = 0
+      while (!(cx + DX(d0) == bx && cy + DY(d0) == by)) d0 += 1
+      // scan clockwise from just past the backtrack; remember last off cell
+      var lastOffX = bx; var lastOffY = by
+      var found = -1
+      var t = 1
+      while (t <= 8 && found < 0) {
+        val d = (d0 + t) % 8
+        val nx = cx + DX(d); val ny = cy + DY(d)
+        if (on(nx, ny)) found = d
+        else { lastOffX = nx; lastOffY = ny; t += 1 }
+      }
+      if (found < 0) done = true // single-pixel component
+      // periodicity stop: standing on the seed about to repeat the very
+      // first move — the emitted cycle is complete (a contour may pass
+      // through the seed mid-cycle with a DIFFERENT next move: pinched
+      // shapes continue correctly)
+      else if (cx == sx && cy == sy && firstMoveDir >= 0 &&
+          found == firstMoveDir) done = true
+      else {
+        if (firstMoveDir < 0) firstMoveDir = found
+        cx += DX(found); cy += DY(found)
+        bx = lastOffX; by = lastOffY
+        pts += ((cx, cy))
+        steps += 1
+      }
+    }
+    // the stop fires standing on the seed, which the closing step just
+    // re-emitted — drop that one duplicate (mid-cycle seed passes of a
+    // pinched shape stay)
+    val raw0 = pts.result()
+    val raw =
+      if (raw0.length > 1 && raw0.last == raw0.head) raw0.dropRight(1)
+      else raw0
+    if (raw.length <= 2) raw
+    else {
+      @inline def dirOf(a: (Int, Int), b: (Int, Int)): Int = {
+        val dx = Integer.signum(b._1 - a._1); val dy = Integer.signum(b._2 - a._2)
+        var d = 0
+        while (d < 8 && !(DX(d) == dx && DY(d) == dy)) d += 1
+        d
+      }
+      val n = raw.length
+      val keep = Array.newBuilder[(Int, Int)]
+      var i = 0
+      while (i < n) {
+        val prev = raw((i + n - 1) % n)
+        val next = raw((i + 1) % n)
+        if (dirOf(prev, raw(i)) != dirOf(raw(i), next)) keep += raw(i)
+        i += 1
+      }
+      val k = keep.result()
+      if (k.isEmpty) Array(raw(0)) else k
+    }
+  }
+
+  /** Closed-curve perimeter: Σ‖pᵢ₊₁−pᵢ‖ including the closing segment
+    * (cv2.arcLength(closed=True)).
+    */
+  def arcLength(pts: Array[(Int, Int)]): Double = {
+    if (pts.length < 2) return 0.0
+    var s = 0.0
+    var i = 0
+    val n = pts.length
+    while (i < n) {
+      val a = pts(i); val b = pts((i + 1) % n)
+      val dx = (b._1 - a._1).toDouble; val dy = (b._2 - a._2).toDouble
+      s += math.sqrt(dx * dx + dy * dy)
+      i += 1
+    }
+    s
+  }
+
+  /** Douglas-Peucker on a CLOSED polyline: split at the farthest-point
+    * pair (p = argmax dist from pts(0), q = argmax dist from p; first
+    * index wins ties), DP each arc, concatenate.
+    */
+  def approxPolyDP(pts: Array[(Int, Int)], eps: Double): Array[(Int, Int)] = {
+    val n = pts.length
+    if (n <= 2) return pts.clone()
+    @inline def d2(a: (Int, Int), b: (Int, Int)): Double = {
+      val dx = (b._1 - a._1).toDouble; val dy = (b._2 - a._2).toDouble
+      dx * dx + dy * dy
+    }
+    def farthestFrom(i0: Int): Int = {
+      var best = -1; var bestD = -1.0
+      var i = 0
+      while (i < n) {
+        val d = d2(pts(i0), pts(i))
+        if (d > bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+    val p = farthestFrom(0)
+    val q = farthestFrom(p)
+    // perpendicular distance² of x to segment a-b (distance to the LINE —
+    // DP's recursive step always has interior points "between" the chord
+    // endpoints on these pixel arcs, and cv2 uses line distance too)
+    def lineD2(a: (Int, Int), b: (Int, Int), x: (Int, Int)): Double = {
+      val abx = (b._1 - a._1).toDouble; val aby = (b._2 - a._2).toDouble
+      val len2 = abx * abx + aby * aby
+      if (len2 == 0) d2(a, x)
+      else {
+        val cross = abx * (x._2 - a._2) - aby * (x._1 - a._1)
+        cross * cross / len2
+      }
+    }
+    val eps2 = eps * eps
+    val out = Array.newBuilder[(Int, Int)]
+    // DP over the cyclic index arc (i..j going forward mod n), emitting
+    // pts(i) and interior kept points, NOT pts(j) (the caller chains arcs)
+    def dp(i: Int, j: Int): Unit = {
+      out += pts(i)
+      def rec(lo: Int, hi: Int): Unit = { // cyclic arc lo..hi, exclusive interior
+        val span = (hi - lo + n) % n
+        if (span < 2) return
+        var best = -1; var bestD = -1.0
+        var s = 1
+        while (s < span) {
+          val idx = (lo + s) % n
+          val d = lineD2(pts(lo), pts(hi), pts(idx))
+          if (d > bestD) { bestD = d; best = idx }
+          s += 1
+        }
+        if (bestD > eps2) {
+          rec(lo, best)
+          out += pts(best)
+          rec(best, hi)
+        }
+      }
+      rec(i, j)
+    }
+    dp(p, q)
+    dp(q, p)
+    out.result()
+  }
+
+  /** The full reference pipeline over a grayscale raster. Returns the
+    * TL/TR/BR/BL corner set of the LAST quadrilateral contour, computed
+    * over points accumulated across ALL quadrilateral contours (the
+    * reference's exact list semantics) — None when no contour passes the
+    * peri>1000 ∧ len==4 gates.
+    */
+  def cornerPixelExtract(gray: Array[Int], w: Int, h: Int): Option[Quad] = {
+    val bin = close5(threshold(gaussianBlur5(gray, w, h), 50), w, h)
+    val points = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var result: Option[Quad] = None
+    externalContours(bin, w, h).foreach { contour =>
+      val peri = arcLength(contour)
+      if (peri > 1000) {
+        val approx = approxPolyDP(contour, 0.02 * peri)
+        if (approx.length == 4) {
+          points ++= approx
+          // Python-sorted ties are stable: [0] = first min, [-1] = last max
+          def firstMinBy(f: ((Int, Int)) => Int) = points.minBy(f)
+          def lastMaxBy(f: ((Int, Int)) => Int) = {
+            var best = points.head
+            points.foreach(p => if (f(p) >= f(best)) best = p)
+            best
+          }
+          val tl = firstMinBy(p => p._1 + p._2)
+          val br = lastMaxBy(p => p._1 + p._2)
+          val tr = lastMaxBy(p => p._1 - p._2)
+          val bl = firstMinBy(p => p._1 - p._2)
+          result = Some(Quad(tl._1, tl._2, tr._1, tr._2,
+            br._1, br._2, bl._1, bl._2))
+        }
+      }
+    }
+    result
+  }
+
+  /** Deterministic test/query raster: a filled axis-aligned 255-rectangle
+    * [x0,x0+rw)×[y0,y0+rh) on a 0 background. Fully synthetic — the
+    * repo's testdata carries no image payloads, so px1 renders its own
+    * frames from table keys (same spirit as the reference's chessboard
+    * fixtures).
+    */
+  def renderRect(w: Int, h: Int, x0: Int, y0: Int, rw: Int, rh: Int): Array[Int] = {
+    val img = new Array[Int](w * h)
+    var y = y0
+    while (y < y0 + rh) {
+      var x = x0
+      while (x < x0 + rw) { img(y * w + x) = 255; x += 1 }
+      y += 1
+    }
+    img
+  }
+
+  /** Rec.601 luma (the cv2 BGR2GRAY weights) from packed ARGB. */
+  def argbToGray(argb: Array[Int]): Array[Int] =
+    argb.map { p =>
+      val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+      (299 * r + 587 * g + 114 * b + 500) / 1000
+    }
+}

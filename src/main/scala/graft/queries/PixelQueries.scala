@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Corners, Tables => T}
+
+/** Pixel-kernel query surface — the reference's corner detection
+  * (pixel_processing.py:6-64) run end-to-end on REAL rasters inside the
+  * engine.
+  *
+  * The repo's parquet testdata carries no image payloads, so px1 renders
+  * its frames deterministically from table keys (one 640×640 synthetic
+  * sample photo per nation row — same spirit as the reference's generated
+  * chessboard fixtures, train.py:14-40) and the oracle predicts the
+  * detected corners in closed form. The prediction is exact because the
+  * whole integer pipeline (binomial blur → threshold → close → contour →
+  * approxPolyDP) is translation-equivariant: with the rectangle SIZE fixed
+  * and only its position varying per row, every row's detected corners are
+  * the true corners plus one fixed, size-dependent offset, measured once
+  * and pinned in CornersSpec:
+  *
+  *   blur+threshold grow the 255-rectangle by 1 px per side and chamfer
+  *   the 4 corner pixels (corner value 255·(5/16)² = 24.9 < 50); close
+  *   with the 5×5 element preserves that shape exactly; approxPolyDP at
+  *   ε = 0.02·peri ≈ 25 px collapses the octagon to 4 vertices, one per
+  *   chamfer.
+  *
+  * Scale shape: the kernel runs as a Dataset.map — embarrassingly
+  * parallel, no shuffle until the final dim-sized ORDER BY; the 100 TB
+  * form is the same map over decoded binary columns
+  * (ops/Multimodal.decodeMeta's mapPartitions batching).
+  */
+object PixelQueries {
+
+  // px1 frame geometry: fixed 340×290 rectangle (peri after growth =
+  // 2·(341+291) + 4·(√2−2) ≈ 1258 > the reference's 1000 gate), position
+  // keyed off n_nationkey, ≥37 px from every frame edge
+  val W = 640
+  val RW = 340
+  val RH = 290
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("px1_corner_detect",
+      """SELECT n_nationkey,
+        |  40 + 9*(n_nationkey%13) - 1   AS tl_x,
+        |  50 + 7*(n_nationkey%17)       AS tl_y,
+        |  40 + 9*(n_nationkey%13) + 339 AS tr_x,
+        |  50 + 7*(n_nationkey%17) - 1   AS tr_y,
+        |  40 + 9*(n_nationkey%13) + 340 AS br_x,
+        |  50 + 7*(n_nationkey%17) + 289 AS br_y,
+        |  40 + 9*(n_nationkey%13)       AS bl_x,
+        |  50 + 7*(n_nationkey%17) + 290 AS bl_y
+        |FROM nation ORDER BY n_nationkey""") { (s, d) =>
+      import s.implicits._
+      T.nation(s, d).select(col("n_nationkey").cast("int")).as[Int]
+        .map { k =>
+          val x0 = 40 + 9 * (k % 13)
+          val y0 = 50 + 7 * (k % 17)
+          val gray = Corners.renderRect(W, W, x0, y0, RW, RH)
+          val q = Corners.cornerPixelExtract(gray, W, W)
+            .getOrElse(sys.error(s"px1: no quadrilateral detected for key $k"))
+          (k, q.tlX, q.tlY, q.trX, q.trY, q.brX, q.brY, q.blX, q.blY)
+        }
+        .toDF("n_nationkey", "tl_x", "tl_y", "tr_x", "tr_y",
+          "br_x", "br_y", "bl_x", "bl_y")
+        .orderBy("n_nationkey")
+    }
+  )
+}

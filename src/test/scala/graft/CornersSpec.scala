@@ -1,0 +1,154 @@
+package graft
+
+import graft.ops.Corners
+
+class CornersSpec extends SparkSpec {
+
+  import Corners._
+
+  test("binomial blur matches the exact separable profile at a step edge") {
+    // 1D step edge at x0=10 in a 32x9 frame, far from corners: the exact
+    // [1,4,6,4,1]/16 profile is 0,16,80,175,239,255 for x = x0-3..x0+2
+    // (255·{0,1,5,11,15,16}/16 rounded)
+    val w = 32; val h = 9
+    val img = Array.tabulate(w * h)(i => if (i % w >= 10) 255 else 0)
+    val b = gaussianBlur5(img, w, h)
+    val mid = (h / 2) * w
+    assert((7 to 12).map(x => b(mid + x)) === Seq(0, 16, 80, 175, 239, 255))
+  }
+
+  test("threshold is strictly-greater, as cv2.THRESH_BINARY") {
+    assert(threshold(Array(49, 50, 51), 50) === Array(false, false, true))
+  }
+
+  test("close preserves a chamfered rectangle exactly") {
+    // the post-threshold shape of a blurred rect: grown by 1, 4 corner
+    // pixels cut. close(5x5) must return it unchanged (no concavity wider
+    // than the element, and the border convention must not erode edges)
+    val w = 64; val h = 64
+    val bin = new Array[Boolean](w * h)
+    for (y <- 9 to 41; x <- 7 to 53) bin(y * w + x) = true
+    for ((x, y) <- Seq((7, 9), (53, 9), (7, 41), (53, 41))) bin(y * w + x) = false
+    val c = close5(bin, w, h)
+    assert(c === bin)
+  }
+
+  test("external contour of a rectangle is its 4 corners (SIMPLE)") {
+    val w = 32; val h = 16
+    val bin = new Array[Boolean](w * h)
+    for (y <- 3 to 10; x <- 5 to 20) bin(y * w + x) = true
+    val cs = externalContours(bin, w, h)
+    assert(cs.size === 1)
+    assert(cs.head.toSet === Set((5, 3), (20, 3), (20, 10), (5, 10)))
+    assert(math.abs(arcLength(cs.head) - 2 * (15 + 7)) < 1e-9)
+  }
+
+  test("contour tracing terminates on thin shapes") {
+    // 2-pixel domino and 1-pixel singleton — degenerate borders that break
+    // a naive Jacob criterion
+    val w = 8; val h = 8
+    val dom = new Array[Boolean](w * h)
+    dom(0) = true; dom(1) = true
+    val c1 = externalContours(dom, w, h)
+    assert(c1.size === 1 && c1.head.toSet === Set((0, 0), (1, 0)))
+    val single = new Array[Boolean](w * h)
+    single(3 * w + 3) = true
+    val c2 = externalContours(single, w, h)
+    assert(c2.size === 1 && c2.head.toSeq === Seq((3, 3)))
+  }
+
+  test("approxPolyDP collapses a chamfered octagon to 4 vertices") {
+    val oct = Array((10, 9), (309, 9), (310, 10), (310, 289),
+      (309, 290), (10, 290), (9, 289), (9, 10))
+    val peri = arcLength(oct)
+    assert(peri > 1000)
+    val ap = approxPolyDP(oct, 0.02 * peri)
+    assert(ap.length === 4, s"got ${ap.toSeq}")
+  }
+
+  test("full pipeline: detected corners sit on the grown rectangle") {
+    val x0 = 60; val y0 = 80
+    val g = renderRect(640, 640, x0, y0, 340, 290)
+    val q = cornerPixelExtract(g, 640, 640)
+      .getOrElse(fail("no quad detected"))
+    val x1 = x0 + 339; val y1 = y0 + 289
+    // every detected corner within 1 px (chebyshev) of the true corner
+    def near(cx: Int, cy: Int, tx: Int, ty: Int) =
+      math.max(math.abs(cx - tx), math.abs(cy - ty)) <= 1
+    assert(near(q.tlX, q.tlY, x0, y0), s"TL ${(q.tlX, q.tlY)}")
+    assert(near(q.trX, q.trY, x1, y0), s"TR ${(q.trX, q.trY)}")
+    assert(near(q.brX, q.brY, x1, y1), s"BR ${(q.brX, q.brY)}")
+    assert(near(q.blX, q.blY, x0, y1), s"BL ${(q.blX, q.blY)}")
+  }
+
+  test("pipeline is translation-equivariant (the px1 oracle's premise)") {
+    def at(x0: Int, y0: Int): Quad = {
+      val g = renderRect(640, 640, x0, y0, 340, 290)
+      cornerPixelExtract(g, 640, 640).getOrElse(fail(s"no quad at $x0,$y0"))
+    }
+    val base = at(40, 50)
+    for ((dx, dy) <- Seq((9, 7), (108, 112), (37, 1))) {
+      val m = at(40 + dx, 50 + dy)
+      assert((m.tlX - base.tlX, m.tlY - base.tlY) === ((dx, dy)))
+      assert((m.trX - base.trX, m.trY - base.trY) === ((dx, dy)))
+      assert((m.brX - base.brX, m.brY - base.brY) === ((dx, dy)))
+      assert((m.blX - base.blX, m.blY - base.blY) === ((dx, dy)))
+    }
+  }
+
+  test("px1's closed-form oracle offsets are exactly what the kernel emits") {
+    // the oracle (PixelQueries) predicts: TL=(x0-1,y0) TR=(x1,y0-1)
+    // BR=(x1+1,y1) BL=(x0,y1+1) — the blur/threshold grows each side by 1
+    // and approxPolyDP lands on one endpoint of each corner chamfer.
+    // Verified over every key the nation table can produce.
+    for (k <- 0 until 25) {
+      val x0 = 40 + 9 * (k % 13); val y0 = 50 + 7 * (k % 17)
+      val g = renderRect(640, 640, x0, y0, 340, 290)
+      val q = cornerPixelExtract(g, 640, 640).getOrElse(fail(s"no quad k=$k"))
+      val x1 = x0 + 339; val y1 = y0 + 289
+      assert((q.tlX, q.tlY) === ((x0 - 1, y0)), s"TL k=$k")
+      assert((q.trX, q.trY) === ((x1, y0 - 1)), s"TR k=$k")
+      assert((q.brX, q.brY) === ((x1 + 1, y1)), s"BR k=$k")
+      assert((q.blX, q.blY) === ((x0, y1 + 1)), s"BL k=$k")
+    }
+  }
+
+  test("reference list semantics: points accumulate across quad contours") {
+    // two quads in one frame: the reference never resets `points`
+    // (pixel_processing.py:13,40), so the final TL/BR mix both quads —
+    // TL from the upper-left quad, BR from the lower-right one
+    val g = new Array[Int](1400 * 800)
+    def fill(x0: Int, y0: Int, rw: Int, rh: Int): Unit =
+      for (y <- y0 until y0 + rh; x <- x0 until x0 + rw) g(y * 1400 + x) = 255
+    fill(20, 20, 300, 300)
+    fill(700, 400, 300, 300)
+    val q = cornerPixelExtract(g, 1400, 800).getOrElse(fail("no quad"))
+    assert(q.tlX < 30 && q.tlY < 30)
+    assert(q.brX > 990 && q.brY > 690)
+  }
+
+  test("kernel runs on codec output: PNG round-trip preserves detection") {
+    // real-decode integration: render, encode PNG via ImageIO (the same
+    // decoder family Codecs.decodeLdr uses), decode to ARGB, Rec.601 gray,
+    // detect — byte-identical corners to the raw-raster path
+    val x0 = 75; val y0 = 91
+    val raw = renderRect(640, 640, x0, y0, 340, 290)
+    val img = new java.awt.image.BufferedImage(
+      640, 640, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 640; x <- 0 until 640) {
+      val v = raw(y * 640 + x)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val bytes = bos.toByteArray
+    assert(graft.ops.Codecs.isLdrImage(bytes))
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val argb = back.getRGB(0, 0, 640, 640, null, 0, 640)
+    val gray = argbToGray(argb)
+    assert(gray === raw) // grayscale PNG of equal RGB channels is lossless
+    val q1 = cornerPixelExtract(raw, 640, 640)
+    val q2 = cornerPixelExtract(gray, 640, 640)
+    assert(q1 === q2 && q1.nonEmpty)
+  }
+}
