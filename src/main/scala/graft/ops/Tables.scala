@@ -75,14 +75,34 @@ object Tables {
       "source" -> S, "n_chars" -> L),
     "embeddings" -> Seq("vec_id" -> L, "embedding" -> VecF, "label" -> I))
 
+  /** Memoized analyzed base relations — the engine's "catalog".
+    *
+    * `spark.read.parquet` re-lists the path and re-reads the footer on
+    * EVERY call (~100 ms warm), which for a sub-second query is the
+    * single largest fixed cost. A real engine resolves a table through a
+    * catalog once per session, exactly as the DuckDB oracle harness
+    * creates its views once per connection — so table resolution is
+    * memoized per (session, zone, dir, table). Values are immutable
+    * logical plans (no pinned data; Caches.releaseAll is unaffected).
+    * The session timeZone is part of the key so a zone change mid-session
+    * (TablesSpec's zone-independence pin) re-runs normalization under
+    * the new zone rather than replaying a plan built under the old one.
+    */
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, String), DataFrame]()
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // TIMESTAMP(NANOS) columns are otherwise unreadable — Spark has no
-    // nanosecond timestamp and refuses the file (PARQUET_TYPE_ILLEGAL);
-    // with nanosAsLong they arrive as raw bigint epoch-nanos and
-    // normalize() maps that to the logical type
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    logical.get(name).fold(df)(cols => normalize(df, name, cols))
+    val zone = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    if (relCache.size > 256) relCache.clear() // many sessions/dirs: re-resolve
+    relCache.computeIfAbsent((spark, zone, sfDir, name), _ => {
+      // TIMESTAMP(NANOS) columns are otherwise unreadable — Spark has no
+      // nanosecond timestamp and refuses the file (PARQUET_TYPE_ILLEGAL);
+      // with nanosAsLong they arrive as raw bigint epoch-nanos and
+      // normalize() maps that to the logical type
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      logical.get(name).fold(df)(cols => normalize(df, name, cols))
+    })
   }
 
   private def normalize(df: DataFrame, table: String,
