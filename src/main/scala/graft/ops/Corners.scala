@@ -410,4 +410,148 @@ object Corners {
       val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
       (299 * r + 587 * g + 114 * b + 500) / 1000
     }
+
+  // ---------------------------------------------------------------------
+  // Chessboard inner-corner detection — camera_calib.py:61-77's
+  // cv2.resize(0.5) + findChessboardCorners(gray, (9,11)), re-expressed
+  // with the same structural pipeline OpenCV uses internally: threshold →
+  // erode (to split black squares that touch only diagonally) → one quad
+  // per square → inner corners = clustered diagonal corner pairs → grid
+  // assembly. Subpixel refinement (cornerSubPix) is unnecessary on the
+  // engine's synthetic axis-aligned renders: the midpoint of the two
+  // eroded-quad corners IS the exact saddle point. Real photographed
+  // boards would need the homography-aware grid ordering cv2 applies;
+  // the synthetic surface assembles rows by y, columns by x.
+  // ---------------------------------------------------------------------
+
+  /** 2×2 box mean (round half up) — the reference's 0.5 downscale
+    * (camera_calib.py:61-63; exact for block-aligned synthetic boards,
+    * where every 2×2 block is uniform). Odd trailing row/col dropped,
+    * as cv2.resize with int(dim*0.5) does.
+    */
+  def halfScale(gray: Array[Int], w: Int, h: Int): (Array[Int], Int, Int) = {
+    val w2 = w / 2; val h2 = h / 2
+    val out = new Array[Int](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val i = (2 * y) * w + 2 * x
+        out(y * w2 + x) = (gray(i) + gray(i + 1) + gray(i + w) + gray(i + w + 1) + 2) / 4
+        x += 1
+      }
+      y += 1
+    }
+    (out, w2, h2)
+  }
+
+  /** 3×3 erosion (all-on in window; on-padding at the frame border). */
+  def erode3(src: Array[Boolean], w: Int, h: Int): Array[Boolean] = {
+    val out = new Array[Boolean](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var v = true
+        var dy = math.max(0, y - 1)
+        val yh = math.min(h - 1, y + 1)
+        while (v && dy <= yh) {
+          var dx = math.max(0, x - 1)
+          val xh = math.min(w - 1, x + 1)
+          while (v && dx <= xh) { v = src(dy * w + dx); dx += 1 }
+          dy += 1
+        }
+        out(y * w + x) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** One detected inner corner: grid index (i along x, j along y — the
+    * mgrid convention of camera_calib.py:50) and pixel position in the
+    * HALF-scale frame (the reference detects and calibrates in resized
+    * coordinates, never scaling back).
+    */
+  final case class BoardCorner(i: Int, j: Int, cx: Double, cy: Double)
+
+  /** Full detector over a grayscale raster. Returns the cols×rows inner
+    * corners in grid order, or None when the pattern is not found —
+    * the ret=False branch of camera_calib.py:71.
+    */
+  def chessboardCorners(gray: Array[Int], w: Int, h: Int,
+      cols: Int = 9, rows: Int = 11): Option[Seq[BoardCorner]] = {
+    val (g2, w2, h2) = halfScale(gray, w, h)
+    // black mask (squares are dark on a light ground), then erode so
+    // diagonally-touching squares become separate 8-connected components
+    val black = g2.map(_ < 128)
+    val eroded = erode3(black, w2, h2)
+    val quads = externalContours(eroded, w2, h2).filter(_.length == 4)
+    // candidate corners tagged by their source quad
+    val pts = quads.zipWithIndex.flatMap { case (q, qi) => q.map(p => (p, qi)) }
+    // inner corner = two corners of DIFFERENT quads within Chebyshev 4
+    // (erode pulls each square in by 1, so the diagonal pair sits 3 px
+    // apart per axis; same-row squares are a full square away)
+    val used = scala.collection.mutable.Set.empty[Int]
+    val corners = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var a = 0
+    while (a < pts.length) {
+      if (!used(a)) {
+        val ((ax, ay), aq) = pts(a)
+        var b = a + 1
+        var hit = -1
+        while (hit < 0 && b < pts.length) {
+          val ((bx, by), bq) = pts(b)
+          if (!used(b) && bq != aq &&
+              math.max(math.abs(ax - bx), math.abs(ay - by)) <= 4) hit = b
+          b += 1
+        }
+        if (hit >= 0) {
+          val ((bx, by), _) = pts(hit)
+          used += a; used += hit
+          corners += (((ax + bx) / 2.0, (ay + by) / 2.0))
+        }
+      }
+      a += 1
+    }
+    if (corners.size != cols * rows) return None
+    // grid assembly (axis-aligned synthetic): rows by y, columns by x
+    val byRow = corners.toSeq.sortBy(_._2).grouped(cols).toSeq
+    if (byRow.exists(_.size != cols)) return None
+    Some(byRow.zipWithIndex.flatMap { case (row, j) =>
+      row.sortBy(_._1).zipWithIndex.map { case ((cx, cy), i) =>
+        BoardCorner(i, j, cx, cy)
+      }
+    })
+  }
+
+  /** Synthetic chessboard render: (cols+1)×(rows+1) alternating squares
+    * of side `sq` px, black where (si+sj) is even, origin (x0,y0), white
+    * ground — the engine's stand-in for the reference's photographed
+    * calibration boards.
+    */
+  def renderChessboard(w: Int, h: Int, x0: Int, y0: Int, sq: Int,
+      cols: Int = 9, rows: Int = 11): Array[Int] = {
+    val img = Array.fill(w * h)(255)
+    var sj = 0
+    while (sj <= rows) {
+      var si = 0
+      while (si <= cols) {
+        if ((si + sj) % 2 == 0) {
+          var y = y0 + sj * sq
+          val yEnd = y + sq
+          while (y < yEnd) {
+            var x = x0 + si * sq
+            val xEnd = x + sq
+            while (x < xEnd) { img(y * w + x) = 0; x += 1 }
+            y += 1
+          }
+        }
+        si += 1
+      }
+      sj += 1
+    }
+    img
+  }
 }

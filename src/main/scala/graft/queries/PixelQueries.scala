@@ -64,6 +64,37 @@ object PixelQueries {
         .toDF("n_nationkey", "tl_x", "tl_y", "tr_x", "tr_y",
           "br_x", "br_y", "bl_x", "bl_y")
         .orderBy("n_nationkey")
+    },
+
+    // PX2: chessboard inner-corner detection from pixels — the
+    // reference's cv2.resize(0.5) + findChessboardCorners(gray, (9,11))
+    // (camera_calib.py:61-71), on one synthetic 640×640 board per nation
+    // row. Detection runs in the HALF-scale frame (the reference
+    // calibrates in resized coordinates and never scales back); on the
+    // block-aligned render every inner corner is the exact midpoint of
+    // the two eroded diagonal squares' corners, so the oracle is closed
+    // form: corner (i,j) at (x0/2 + (i+1)·20 − 0.5, y0/2 + (j+1)·20 − 0.5)
+    // with 40 px squares at origin (x0,y0) = (60+4·(k%11), 40+4·(k%7)).
+    // CornersSpec pins the grid-order and exactness over all 25 keys.
+    QueryDef("px2_chessboard_detect",
+      """SELECT n_nationkey, CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+        |  30 + 2*(n_nationkey%11) + (i+1)*20 - 0.5 AS cx,
+        |  20 + 2*(n_nationkey%7)  + (j+1)*20 - 0.5 AS cy
+        |FROM nation,
+        |  generate_series(0, 8) t(i), generate_series(0, 10) s(j)
+        |ORDER BY n_nationkey, j, i""") { (s, d) =>
+      import s.implicits._
+      T.nation(s, d).select(col("n_nationkey").cast("int")).as[Int]
+        .flatMap { k =>
+          val x0 = 60 + 4 * (k % 11)
+          val y0 = 40 + 4 * (k % 7)
+          val gray = Corners.renderChessboard(W, W, x0, y0, 40)
+          val cs = Corners.chessboardCorners(gray, W, W)
+            .getOrElse(sys.error(s"px2: chessboard not found for key $k"))
+          cs.map(c => (k, c.i, c.j, c.cx, c.cy))
+        }
+        .toDF("n_nationkey", "i", "j", "cx", "cy")
+        .orderBy("n_nationkey", "j", "i")
     }
   )
 }

@@ -127,6 +127,46 @@ class CornersSpec extends SparkSpec {
     assert(q.brX > 990 && q.brY > 690)
   }
 
+  test("chessboard detector recovers the exact 9x11 inner-corner grid") {
+    // px2's oracle premise: on a block-aligned render, every inner corner
+    // is the midpoint of the two eroded diagonal squares' corners —
+    // (x0/2 + (i+1)*20 - 0.5, y0/2 + (j+1)*20 - 0.5) in the half frame.
+    // Pinned over every key the nation table can produce.
+    for (k <- 0 until 25) {
+      val x0 = 60 + 4 * (k % 11); val y0 = 40 + 4 * (k % 7)
+      val g = renderChessboard(640, 640, x0, y0, 40)
+      val cs = chessboardCorners(g, 640, 640).getOrElse(fail(s"not found k=$k"))
+      assert(cs.size === 99)
+      cs.foreach { c =>
+        assert(c.cx === x0 / 2.0 + (c.i + 1) * 20 - 0.5, s"cx k=$k ${c}")
+        assert(c.cy === y0 / 2.0 + (c.j + 1) * 20 - 0.5, s"cy k=$k ${c}")
+      }
+      // grid order covers every (i,j) exactly once
+      assert(cs.map(c => (c.i, c.j)).toSet ===
+        (for (i <- 0 until 9; j <- 0 until 11) yield (i, j)).toSet)
+    }
+  }
+
+  test("chessboard detector returns None when the pattern is absent") {
+    // the ret=False branch of camera_calib.py:71: a plain quad scene has
+    // no 99-corner grid
+    val g = renderRect(640, 640, 60, 80, 340, 290)
+    assert(chessboardCorners(g, 640, 640).isEmpty)
+    // and a truncated board (one square row shaved) must not assemble
+    val board = renderChessboard(640, 640, 60, 40, 40)
+    for (y <- 0 until 80; x <- 0 until 640) board(y * 640 + x) = 255
+    assert(chessboardCorners(board, 640, 640).isEmpty)
+  }
+
+  test("halfScale is the exact 2x2 block mean") {
+    val img = Array(0, 0, 255, 255,
+                    0, 0, 255, 255,
+                    10, 20, 30, 40)
+    val (out, w2, h2) = halfScale(img, 4, 3)
+    assert((w2, h2) === ((2, 1)))
+    assert(out === Array(0, 255))
+  }
+
   test("kernel runs on codec output: PNG round-trip preserves detection") {
     // real-decode integration: render, encode PNG via ImageIO (the same
     // decoder family Codecs.decodeLdr uses), decode to ARGB, Rec.601 gray,
