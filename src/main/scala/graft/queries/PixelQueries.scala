@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Corners, Tables => T}
+import graft.ops.{Corners, Geometry, Warp, Tables => T}
 
 /** Pixel-kernel query surface — the reference's corner detection
   * (pixel_processing.py:6-64) run end-to-end on REAL rasters inside the
@@ -95,6 +95,51 @@ object PixelQueries {
         }
         .toDF("n_nationkey", "i", "j", "cx", "cy")
         .orderBy("n_nationkey", "j", "i")
+    },
+
+    // PX3: the reference's full rectification loop on pixels — detect the
+    // sample quad (pixel_processing.py), solve the 4-point perspective
+    // matrix to a fixed output rect (image_cut_warp.py:28-30
+    // getPerspectiveTransform = Geometry.solveHomography), warp the image
+    // (image_cut_warp.py:33-36 warpPerspective = ops/Warp), then re-detect
+    // on the warped frame. The oracle is exact and closed-form because
+    // rectification is the INVARIANT: whatever the quad's position
+    // (varying per key), the warped frame is bit-identical — M absorbs
+    // the translation, and bilinear sampling positions shift with the
+    // content — so the re-detected corners are the output rect's own
+    // corners and the bright-pixel count is a constant, both pinned in
+    // CornersSpec. src_tl_* carries the per-key varying input so the
+    // oracle also checks the pre-warp detection.
+    QueryDef("px3_warp_rectify",
+      """SELECT n_nationkey,
+        |  40 + 9*(n_nationkey%13) - 1 AS src_tl_x,
+        |  50 + 7*(n_nationkey%17)     AS src_tl_y,
+        |  0 AS w_tl_x, 0 AS w_tl_y, 359 AS w_tr_x, 0 AS w_tr_y,
+        |  359 AS w_br_x, 309 AS w_br_y, 0 AS w_bl_x, 309 AS w_bl_y,
+        |  110926 AS n_bright
+        |FROM nation ORDER BY n_nationkey""") { (s, d) =>
+      import s.implicits._
+      T.nation(s, d).select(col("n_nationkey").cast("int")).as[Int]
+        .map { k =>
+          val x0 = 40 + 9 * (k % 13)
+          val y0 = 50 + 7 * (k % 17)
+          val gray = Corners.renderRect(W, W, x0, y0, RW, RH)
+          val q = Corners.cornerPixelExtract(gray, W, W)
+            .getOrElse(sys.error(s"px3: no quadrilateral for key $k"))
+          val m = Geometry.solveHomography(
+            Seq((q.tlX.toDouble, q.tlY.toDouble), (q.trX.toDouble, q.trY.toDouble),
+              (q.brX.toDouble, q.brY.toDouble), (q.blX.toDouble, q.blY.toDouble)),
+            Seq((0.0, 0.0), (359.0, 0.0), (359.0, 309.0), (0.0, 309.0)))
+          val warped = Warp.warpPerspective(gray, W, W, m, 360, 310)
+          val wq = Corners.cornerPixelExtract(warped, 360, 310)
+            .getOrElse(sys.error(s"px3: no warped quadrilateral for key $k"))
+          (k, q.tlX, q.tlY, wq.tlX, wq.tlY, wq.trX, wq.trY,
+            wq.brX, wq.brY, wq.blX, wq.blY, warped.count(_ > 128))
+        }
+        .toDF("n_nationkey", "src_tl_x", "src_tl_y", "w_tl_x", "w_tl_y",
+          "w_tr_x", "w_tr_y", "w_br_x", "w_br_y", "w_bl_x", "w_bl_y",
+          "n_bright")
+        .orderBy("n_nationkey")
     }
   )
 }

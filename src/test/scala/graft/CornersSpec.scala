@@ -167,6 +167,52 @@ class CornersSpec extends SparkSpec {
     assert(out === Array(0, 255))
   }
 
+  test("warpPerspective: identity and integer translation are exact") {
+    import graft.ops.Warp
+    val g = renderRect(64, 64, 10, 12, 30, 20)
+    assert(Warp.warpPerspective(g, 64, 64,
+      Seq(1.0, 0, 0, 0, 1, 0, 0, 0, 1), 64, 64) === g)
+    val w = Warp.warpPerspective(g, 64, 64,
+      Seq(1.0, 0, 5, 0, 1, -3, 0, 0, 1), 64, 64)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val sx = x - 5; val sy = y + 3
+      val exp = if (sx < 0 || sx >= 64 || sy < 0 || sy >= 64) 0 else g(sy * 64 + sx)
+      assert(w(y * 64 + x) === exp, s"at ($x,$y)")
+    }
+  }
+
+  test("warpPerspective: half-pixel shift is the exact 2-tap average") {
+    import graft.ops.Warp
+    // src row 0..255 step edge; shifting by 0.5 px samples the midpoint,
+    // bilinear = mean of the two neighbors (cv2 would agree up to its
+    // 1/32-px fixed-point grid, which represents 0.5 exactly)
+    val g = Array.tabulate(8 * 1)(x => if (x >= 4) 200 else 100)
+    val w = Warp.warpPerspective(g, 8, 1, Seq(1.0, 0, 0.5, 0, 1, 0, 0, 0, 1), 8, 1)
+    assert(w(4) === 150) // between 100 and 200
+    assert(w(5) === 200)
+    assert(w(3) === 100)
+  }
+
+  test("rectification loop closes exactly (the px3 oracle's premise)") {
+    import graft.ops.{Geometry, Warp}
+    // detect -> getPerspectiveTransform -> warpPerspective -> re-detect:
+    // the warped frame is position-invariant (M absorbs the translation),
+    // so re-detected corners are the output rect corners for EVERY key
+    for (k <- Seq(0, 7, 12, 24)) {
+      val x0 = 40 + 9 * (k % 13); val y0 = 50 + 7 * (k % 17)
+      val g = renderRect(640, 640, x0, y0, 340, 290)
+      val q = cornerPixelExtract(g, 640, 640).get
+      val m = Geometry.solveHomography(
+        Seq((q.tlX.toDouble, q.tlY.toDouble), (q.trX.toDouble, q.trY.toDouble),
+          (q.brX.toDouble, q.brY.toDouble), (q.blX.toDouble, q.blY.toDouble)),
+        Seq((0.0, 0.0), (359.0, 0.0), (359.0, 309.0), (0.0, 309.0)))
+      val warped = Warp.warpPerspective(g, 640, 640, m, 360, 310)
+      val wq = cornerPixelExtract(warped, 360, 310).getOrElse(fail(s"k=$k"))
+      assert(wq === Quad(0, 0, 359, 0, 359, 309, 0, 309), s"k=$k")
+      assert(warped.count(_ > 128) === 110926, s"k=$k")
+    }
+  }
+
   test("kernel runs on codec output: PNG round-trip preserves detection") {
     // real-decode integration: render, encode PNG via ImageIO (the same
     // decoder family Codecs.decodeLdr uses), decode to ARGB, Rec.601 gray,
