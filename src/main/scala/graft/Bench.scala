@@ -63,11 +63,28 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // dev knob for floor experiments; default = cpus (the shipped shape)
-    val shufP = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // Size the session to the corpus — same spirit as DuckDB choosing
+    // parallelism from table size:
+    //  - AQE pays a fixed per-stage replan round trip, worth it exactly
+    //    when there is data to re-plan over (runtime coalescing, skew
+    //    splitting). Below 64 MB the static plan is already right and the
+    //    latency is pure floor on sub-second queries → disabled.
+    //  - 32 shuffle partitions on a KB-scale shuffle is 32 tiny tasks of
+    //    pure scheduling; a tiny corpus gets 4 (still parallel for the
+    //    MB-scale shuffles it can produce). At/above 64 MB both revert to
+    //    the scale shape (AQE on, partitions = cores), measured unchanged
+    //    at the committed sf1/sf3/sf10 points.
+    val corpusBytes = Option(new java.io.File(sfDir).listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet")).map(_.length).sum)
+      .getOrElse(Long.MaxValue)
+    val tiny = corpusBytes < (64L << 20)
+    // dev knob for floor experiments; default = the size-aware choice
+    val shufP = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+      if (tiny) "4" else cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufP)
+      .config("spark.sql.adaptive.enabled", String.valueOf(!tiny))
       // single-parquet-file tables (the sf1 scale point is one ~100 MB
       // file per table) must still scan in parallel: 16 MB splits give
       // the 6M-row lineitem ~7 scan tasks instead of 1 under the 128 MB

@@ -53,6 +53,10 @@ object PixelQueries {
         |FROM nation ORDER BY n_nationkey""") { (s, d) =>
       import s.implicits._
       T.nation(s, d).select(col("n_nationkey").cast("int")).as[Int]
+        // one task per frame: the 25-row dim arrives as a single parquet
+        // split, which would serialize the per-image kernel work; at real
+        // scale the frames arrive pre-partitioned from a binaryFile scan
+        .repartition(25)
         .map { k =>
           val x0 = 40 + 9 * (k % 13)
           val y0 = 50 + 7 * (k % 17)
@@ -85,6 +89,10 @@ object PixelQueries {
         |ORDER BY n_nationkey, j, i""") { (s, d) =>
       import s.implicits._
       T.nation(s, d).select(col("n_nationkey").cast("int")).as[Int]
+        // one task per frame: the 25-row dim arrives as a single parquet
+        // split, which would serialize the per-image kernel work; at real
+        // scale the frames arrive pre-partitioned from a binaryFile scan
+        .repartition(25)
         .flatMap { k =>
           val x0 = 60 + 4 * (k % 11)
           val y0 = 40 + 4 * (k % 7)
@@ -120,6 +128,10 @@ object PixelQueries {
         |FROM nation ORDER BY n_nationkey""") { (s, d) =>
       import s.implicits._
       T.nation(s, d).select(col("n_nationkey").cast("int")).as[Int]
+        // one task per frame: the 25-row dim arrives as a single parquet
+        // split, which would serialize the per-image kernel work; at real
+        // scale the frames arrive pre-partitioned from a binaryFile scan
+        .repartition(25)
         .map { k =>
           val x0 = 40 + 9 * (k % 13)
           val y0 = 50 + 7 * (k % 17)
