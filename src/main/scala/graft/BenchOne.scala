@@ -12,10 +12,18 @@ object BenchOne {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
-    val shufP = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // same size-aware session shape as graft.Bench (see its scaladoc):
+    // tiny corpus -> AQE off + 4 shuffle partitions; scale -> AQE + cores
+    val corpusBytes = Option(new java.io.File(sfDir).listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet")).map(_.length).sum)
+      .getOrElse(Long.MaxValue)
+    val tiny = corpusBytes < (64L << 20)
+    val shufP = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+      if (tiny) "4" else cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufP)
+      .config("spark.sql.adaptive.enabled", String.valueOf(!tiny))
       .config("spark.sql.files.maxPartitionBytes", String.valueOf(16L << 20))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
