@@ -142,7 +142,7 @@ object PixelQueries {
             Seq((q.tlX.toDouble, q.tlY.toDouble), (q.trX.toDouble, q.trY.toDouble),
               (q.brX.toDouble, q.brY.toDouble), (q.blX.toDouble, q.blY.toDouble)),
             Seq((0.0, 0.0), (359.0, 0.0), (359.0, 309.0), (0.0, 309.0)))
-          val warped = Warp.warpPerspective(gray, W, W, m, 360, 310)
+          val warped = Warp.warpPerspective(gray, W, W, m.toIndexedSeq, 360, 310)
           val wq = Corners.cornerPixelExtract(warped, 360, 310)
             .getOrElse(sys.error(s"px3: no warped quadrilateral for key $k"))
           (k, q.tlX, q.tlY, wq.tlX, wq.tlY, wq.trX, wq.trY,

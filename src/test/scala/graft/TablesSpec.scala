@@ -139,6 +139,22 @@ class TablesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("base relations are memoized per (session, zone, dir, table)") {
+    // the catalog behavior (ops/Tables.scala relCache): repeat resolution
+    // returns the SAME analyzed plan (no re-list/re-footer ~100 ms), a
+    // zone change re-resolves (so the zone-independence tests above keep
+    // testing normalization under the changed zone, not a replayed plan)
+    val a = Tables.lineitem(spark, src)
+    val b = Tables.lineitem(spark, src)
+    assert(a eq b, "repeat resolution did not hit the memo")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+      val c = Tables.lineitem(spark, src)
+      assert(!(a eq c), "zone change must re-resolve, not replay")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("every declared query analyzes and executes on drifted types") {
     graft.expr.GraftFunctions.register(spark)
     val dir = variantDir
