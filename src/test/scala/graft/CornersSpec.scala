@@ -167,6 +167,30 @@ class CornersSpec extends SparkSpec {
     assert(out === Array(0, 255))
   }
 
+  test("noise robustness: blobs fail the peri gate, specks die in erode") {
+    // the reference's own rejection machinery: a bright blob forms a
+    // contour whose perimeter is far below the 1000 gate
+    // (pixel_processing.py:32), and dark specks on the board ground are
+    // removed by the erode step — detections are unchanged
+    val clean = cornerPixelExtract(renderRect(640, 640, 60, 80, 340, 290),
+      640, 640)
+    val noisy = renderRect(640, 640, 60, 80, 340, 290)
+    for ((bx, by) <- Seq((500, 500), (30, 600), (600, 30));
+         dy <- 0 to 1; dx <- 0 to 1)
+      noisy((by + dy) * 640 + bx + dx) = 255
+    assert(cornerPixelExtract(noisy, 640, 640) === clean)
+    assert(clean.nonEmpty)
+
+    val cleanBoard = chessboardCorners(renderChessboard(640, 640, 60, 40, 40),
+      640, 640)
+    val noisyBoard = renderChessboard(640, 640, 60, 40, 40)
+    for ((bx, by) <- Seq((580, 600), (20, 20), (602, 8));
+         dy <- 0 to 1; dx <- 0 to 1)
+      noisyBoard((by + dy) * 640 + bx + dx) = 0
+    assert(chessboardCorners(noisyBoard, 640, 640) === cleanBoard)
+    assert(cleanBoard.nonEmpty)
+  }
+
   test("warpPerspective: identity and integer translation are exact") {
     import graft.ops.Warp
     val g = renderRect(64, 64, 10, 12, 30, 20)
