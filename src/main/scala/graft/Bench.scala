@@ -85,6 +85,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufP)
       .config("spark.sql.adaptive.enabled", String.valueOf(!tiny))
+      // sf10-class runs saturate all cores for minutes; the default 120 s
+      // heartbeat window logged spurious RPC timeout warnings there
+      .config("spark.network.timeout", "600s")
       // single-parquet-file tables (the sf1 scale point is one ~100 MB
       // file per table) must still scan in parallel: 16 MB splits give
       // the 6M-row lineitem ~7 scan tasks instead of 1 under the 128 MB
