@@ -243,38 +243,35 @@ object TextQueries {
         .filter(size(col("shset")) > 0)
         .cache()
       val cand = Dedup.nearDupCandidatesFromShingles(sh, "doc_id", "shset")
-      val sizes = sh.select(col("doc_id"), size(col("shset")).as("n"))
-      // only candidate docs' shingles enter the intersection shuffle —
-      // a semi-join prune before the explode (candidate docs << corpus)
-      val candDocs = cand.select(col("doc_a").as("doc_id"))
-        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-      val expl = sh.join(candDocs, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), explode(col("shset")).as("s"))
-      // Both sides of the intersection joins scale with the corpus —
-      // candidate pairs grow ~quadratically with the duplication factor
-      // (sf1: 296k pairs, sf3: 2.8M, sf10: ~32M) and the exploded
-      // candidate shingles grow linearly — so force shuffled hash joins:
-      // at sf10 the static planner's size underestimate chose to
-      // BROADCAST the exploded-shingle subtree (~25M string rows) and
-      // blew the driver heap. The hinted shape hash-partitions both
-      // sides; per-task build = |expl|/numPartitions, balanced because
-      // shingle counts per doc are bounded.
-      val inter = cand
-        .join(expl.select(col("doc_id").as("doc_a"), col("s"))
-          .hint("shuffle_hash"), "doc_a")
-        .join(expl.select(col("doc_id").as("doc_b"), col("s"))
-          .hint("shuffle_hash"),
-          Seq("doc_b", "s"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("ninter"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
-          "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
-          "doc_b")
+      // Intersection via per-pair ARRAY intersect of sorted 64-bit
+      // shingle hashes, not an exploded (pair, shingle) join. The
+      // exploded form materializes |pairs| x |shingles/doc| skinny rows —
+      // at sf10's 31.8M candidate pairs that is ~1.4 BILLION intermediate
+      // rows into a groupBy — while each pair here drags exactly two
+      // ~45-element long[] payloads (~23 GB total shuffle at sf10, one
+      // less shuffle stage, no billion-row aggregation): measured at sf3
+      // 43.4 -> 13.8 s cold with zero value differences over all 2.8M
+      // pairs. xxhash64 stands in for the shingle string in the
+      // intersection; a collision WITHIN one pair's two sets (the only
+      // way a count can change) has probability ~|A|·|B|/2^64 ≈ 1e-16
+      // per pair, and the DuckDB gate hash-compares every value. Both
+      // joins are hinted shuffle_hash: candidate pairs grow
+      // ~quadratically with the duplication factor (sf1: 296k pairs,
+      // sf3: 2.8M, sf10: ~32M), and at sf10 the static planner's size
+      // underestimate once chose to BROADCAST the intersection subtree
+      // and blew the driver heap.
+      val hashed = sh.select(col("doc_id"),
+        array_sort(expr("transform(shset, s -> xxhash64(s))")).as("hs"),
+        size(col("shset")).as("n"))
+      val ninter = size(array_intersect(col("ha"), col("hb")))
+      cand
+        .join(hashed.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+          col("n").as("na")).hint("shuffle_hash"), "doc_a")
+        .join(hashed.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+          col("n").as("nb")).hint("shuffle_hash"), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          round(col("ninter").cast("double") /
-            (col("na") + col("nb") - col("ninter")), 6).as("jaccard"))
+          round(ninter.cast("double") /
+            (col("na") + col("nb") - ninter), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
 
