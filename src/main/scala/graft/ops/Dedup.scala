@@ -101,26 +101,67 @@ object Dedup {
     val w = 64 / bands
     // long fingerprint end to end: codegen'd simhash64, band keys by
     // shift+mask, Hamming by bit_count(xor) — no string round trips
+    // Cached: fp feeds five subtrees below (fingerprint distinct, both
+    // sides of the intra-cluster self-join, both id-expansion joins) and
+    // the tokenize+hash scan is the single most expensive leaf — without
+    // the cache Spark recomputes it per subtree (no common exchange to
+    // reuse). Released by the harness via Caches.releaseAll after the
+    // query's action, per that object's contract.
     val fp = docs
       .select(col(idCol), TextOps.tokensLower(col(textCol)).as("tk"))
       .filter(size(col("tk")) > 0)
       .select(col(idCol), TextOps.simhash64Fast(col("tk")).as("sh"))
-    val bandRows = fp.select(col(idCol), col("sh"),
+      .cache()
+    // Fingerprint-level LSH, doc-level only for the final expansion.
+    // A near-dup corpus is exactly the case where many docs SHARE a
+    // fingerprint (templated/boilerplate clusters): the doc-level band
+    // self-join streams |cluster_a|x|cluster_b| candidate rows for every
+    // colliding fingerprint pair (measured ~2e9 at the 100x scale point,
+    // where 500k docs carry only ~5k distinct fingerprints), all to
+    // re-verify the same 64-bit Hamming distance. Banding over DISTINCT
+    // fingerprints does that verify once per fingerprint pair (~2e5
+    // rows), and the id joins below then emit each qualifying doc pair
+    // exactly once — the only remaining large volume is the answer
+    // itself. Worst case (all fingerprints unique) degenerates to the
+    // doc-level join plus one 8-byte-payload distinct — same shape.
+    val dfp = fp.select("sh").distinct()
+    val bandRows = dfp.select(col("sh"),
       posexplode(array((0 until bands).map(i =>
         // band i = fingerprint bits [64-w*(i+1), 64-w*i) (MSB-first,
         // matching substring(bitString, i*w+1, w) of the HOF form)
         shiftrightunsigned(col("sh"), 64 - w * (i + 1))
           .bitwiseAND(lit((1L << w) - 1))): _*)).as(Seq("b", "bk")))
-    val a = bandRows.select(col(idCol).as("doc_a"), col("sh").as("sha"),
-      col("b"), col("bk"))
-    val b = bandRows.select(col(idCol).as("doc_b"), col("sh").as("shb"),
-      col("b"), col("bk"))
-    a.join(b.hint("shuffle_hash"), Seq("b", "bk"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+    val a = bandRows.select(col("sh").as("sha"), col("b"), col("bk"))
+    val b = bandRows.select(col("sh").as("shb"), col("b"), col("bk"))
+    // Both sides are every distinct fingerprint's band rows — pin the
+    // bucket join shuffled-hash like the MinHash LSH join (never
+    // broadcast a whole-corpus derivative). Candidate pairs carry
+    // exactly two longs; the distinct collapses the <=bands-fold
+    // band multiplicity at fingerprint (not doc) cardinality.
+    val shPairs = a.join(b.hint("shuffle_hash"), Seq("b", "bk"))
+      .filter(col("sha") < col("shb"))
+      .select(col("sha"), col("shb"),
         bit_count(col("sha").bitwiseXOR(col("shb")))
           .cast("bigint").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    // Expansion to doc pairs: intra-fingerprint clusters are all
+    // Hamming-0 pairs (self-join on sh, id<id); inter-fingerprint pairs
+    // cross-join the two id sets through two hash joins on sh. Each doc
+    // has exactly one fingerprint and each (sha<shb) pair is unique, so
+    // no doc pair is emitted twice — no doc-level distinct needed.
+    val intra = fp.as("x").join(fp.as("y").hint("shuffle_hash"), "sh")
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"),
+        lit(0L).as("hamming"))
+    val inter = shPairs
+      .join(fp.select(col(idCol).as("id_a"), col("sh").as("sha"))
+        .hint("shuffle_hash"), "sha")
+      .join(fp.select(col(idCol).as("id_b"), col("sh").as("shb"))
+        .hint("shuffle_hash"), "shb")
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"),
+        col("hamming"))
+    intra.unionAll(inter)
   }
 }
