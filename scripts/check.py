@@ -116,12 +116,15 @@ def main():
         sys.stdout.flush()
         try:
             r = run_one(sf_dir, out_dir, name, sql)
-        except Exception as e:
+        except (duckdb.Error, OSError, MemoryError) as e:
             # a dying oracle (e.g. DuckDB OOM at a huge scale point) must
             # not kill the whole sweep: the allocator can still be
             # releasing the previous connection's memory when the next
             # connection's SET/CREATE VIEW runs, which raises OUTSIDE
             # run_one's inner try blocks. Count it, breathe, continue.
+            # Deliberately NARROW (duckdb/IO/memory only): a programming
+            # error in this harness must raise, not masquerade as a wall
+            # of query FAILs with a 10 s sleep each.
             print(f"FAIL {name}: harness error: {e}")
             r = "fail"
             gc.collect()

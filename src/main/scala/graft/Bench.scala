@@ -28,6 +28,22 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
+  /** Total bytes of the sf dir's `*.parquet` tables — the one corpus
+    * probe both Bench and BenchOne size their session from. A table may
+    * be a parquet DIRECTORY of part files (standard Spark output
+    * layout): directories are summed recursively, because a dir's own
+    * entry length (~4 KB) would silently flip a large corpus into the
+    * tiny-session config (AQE off, 4 shuffle partitions).
+    */
+  def corpusBytes(sfDir: String): Long = {
+    def sz(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles()).map(_.map(sz).sum).getOrElse(0L)
+    Option(new java.io.File(sfDir).listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet")).map(sz).sum)
+      .getOrElse(Long.MaxValue)
+  }
+
   /** Baseline "queries" map, if the file exists for this sf. The file
     * defaults to BASELINE_local.json (sf0.1, the driver's round loop) and
     * is overridable via SPARK_GRAFT_BASELINE for builder-owned scale
@@ -74,10 +90,7 @@ object Bench {
     //    MB-scale shuffles it can produce). At/above 64 MB both revert to
     //    the scale shape (AQE on, partitions = cores), measured unchanged
     //    at the committed sf1/sf3/sf10 points.
-    val corpusBytes = Option(new java.io.File(sfDir).listFiles())
-      .map(_.filter(_.getName.endsWith(".parquet")).map(_.length).sum)
-      .getOrElse(Long.MaxValue)
-    val tiny = corpusBytes < (64L << 20)
+    val tiny = corpusBytes(sfDir) < (64L << 20)
     // dev knob for floor experiments; default = the size-aware choice
     val shufP = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
       if (tiny) "4" else cpus)
@@ -97,6 +110,8 @@ object Bench {
       // construction (ops/Tables.scala normalizes ts to epoch-nanos), but
       // the harness states the precondition rather than assuming it
       .config("spark.sql.session.timeZone", "UTC")
+      // precondition of graft.ops.Tables (asserted there, set here)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,10 +14,7 @@ object BenchOne {
     val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     // same size-aware session shape as graft.Bench (see its scaladoc):
     // tiny corpus -> AQE off + 4 shuffle partitions; scale -> AQE + cores
-    val corpusBytes = Option(new java.io.File(sfDir).listFiles())
-      .map(_.filter(_.getName.endsWith(".parquet")).map(_.length).sum)
-      .getOrElse(Long.MaxValue)
-    val tiny = corpusBytes < (64L << 20)
+    val tiny = Bench.corpusBytes(sfDir) < (64L << 20)
     val shufP = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
       if (tiny) "4" else cpus)
     val spark = SparkSession.builder()
@@ -25,6 +22,8 @@ object BenchOne {
       .config("spark.sql.shuffle.partitions", shufP)
       .config("spark.sql.adaptive.enabled", String.valueOf(!tiny))
       .config("spark.sql.files.maxPartitionBytes", String.valueOf(16L << 20))
+      // precondition of graft.ops.Tables (asserted there, set here)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -9,6 +9,7 @@ object ProfX17 {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.files.maxPartitionBytes", String.valueOf(16L << 20))
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.expr.GraftFunctions.register(spark)

@@ -210,7 +210,10 @@ object Corners {
     pts += ((sx, sy))
     var done = false
     var firstMoveDir = -1
-    val limit = 4 * w * h + 8 // safety bound, unreachable
+    // safety bound: Moore tracing visits each on-pixel at most 4 times,
+    // so hitting this means the tracer itself is broken — fail loudly
+    // below rather than hand a silently truncated contour to approxPolyDP
+    val limit = 4 * w * h + 8
     var steps = 0
     while (!done && steps < limit) {
       // direction from c to the backtrack cell
@@ -241,6 +244,9 @@ object Corners {
         steps += 1
       }
     }
+    if (!done) sys.error(
+      s"Moore trace did not close after $steps steps on a ${w}x$h raster " +
+        s"(seed $sx,$sy) — tracer invariant violated")
     // the stop fires standing on the seed, which the closing step just
     // re-emitted — drop that one duplicate (mid-cycle seed passes of a
     // pinched shape stay)

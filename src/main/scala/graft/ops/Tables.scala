@@ -87,19 +87,34 @@ object Tables {
     * The session timeZone is part of the key so a zone change mid-session
     * (TablesSpec's zone-independence pin) re-runs normalization under
     * the new zone rather than replaying a plan built under the old one.
+    *
+    * Contract: a table path is not rewritten within a session's lifetime
+    * (the memoized plan pins the file listing and schema observed at
+    * first resolution — standard immutable-table catalog semantics).
+    * Entries of STOPPED sessions are purged on every call, so test
+    * churn cannot retain dead sessions' plans indefinitely.
     */
   private val relCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, String), DataFrame]()
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // TIMESTAMP(NANOS) columns are otherwise unreadable — Spark has no
+    // nanosecond timestamp and refuses the file (PARQUET_TYPE_ILLEGAL);
+    // with nanosAsLong they arrive as raw bigint epoch-nanos and
+    // normalize() maps that to the logical type. The flag is a
+    // PRECONDITION set once at session construction (Verify, Bench,
+    // BenchOne, TestSpark all do) — asserted here, never mutated: a
+    // conf.set inside this resolution path could flip mid-query under a
+    // concurrent reader of the same session.
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session " +
+        "construction before resolving graft tables (see Tables scaladoc)")
     val zone = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    val it = relCache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     if (relCache.size > 256) relCache.clear() // many sessions/dirs: re-resolve
     relCache.computeIfAbsent((spark, zone, sfDir, name), _ => {
-      // TIMESTAMP(NANOS) columns are otherwise unreadable — Spark has no
-      // nanosecond timestamp and refuses the file (PARQUET_TYPE_ILLEGAL);
-      // with nanosAsLong they arrive as raw bigint epoch-nanos and
-      // normalize() maps that to the logical type
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       logical.get(name).fold(df)(cols => normalize(df, name, cols))
     })
