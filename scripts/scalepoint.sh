@@ -9,8 +9,11 @@
 #
 # The sf10 (100x) point needs the oracle skip-list — em1/em2 are
 # DuckDB-quadratic (hours each) and t7/t11's SQL formulations exceed
-# DuckDB's 70 GB in-memory limit at that scale (correctness for all four
-# is pinned at sf1/sf3):
+# DuckDB's 70 GB in-memory limit at that scale. Their deterministic-slice
+# twins (t7_slice/t11_slice/em1_slice/em2_slice — same pipeline on a
+# replica-preserving keyed slice) are NOT skipped: they hash-match DuckDB
+# directly at sf10, so the skipped full-corpus oracles are covered by
+# slice rows at 100x plus full rows at sf1/sf3:
 #   SPARK_GRAFT_SKIP_ORACLES=em1_blocked_closest_pair,em2_cosine_near_dup,t11_simhash_near_dup,t7_simhash \
 #   SPARK_GRAFT_SINGLE_RUN_SEC=60 scripts/scalepoint.sh scratch/sf10 100 sf10
 #

@@ -154,6 +154,71 @@ object SimQueries {
         .orderBy("vec_id")
     },
 
+    // ---- deterministic-slice twins: direct 100x-scale oracles --------
+    //
+    // em1/em2's full oracles are quadratic within label blocks and take
+    // DuckDB hours at the sf10 (100x) point, so full-corpus correctness
+    // there rests on sf1/sf3 rows + the BlockedPairSpec pins. These
+    // twins run the SAME blocked pipeline on a keyed slice whose oracle
+    // stays tractable at any scale: scale-up replication offsets vec_id
+    // by multiples of the base corpus size (a multiple of 40 —
+    // scripts/datagen.py), so `vec_id % 40 = 0` keeps every replica of
+    // the selected base vectors — the slice preserves the exact-dup
+    // cluster structure (cos = 1.0 ties and all) rather than sampling
+    // pairs away.
+    QueryDef("em1_slice_closest_pair",
+      """WITH emb_s AS (SELECT * FROM embeddings WHERE vec_id % 40 = 0),
+        |p AS (
+        |  SELECT a.label AS label, a.vec_id AS va, b.vec_id AS vb,
+        |    round(
+        |      list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+        |      6) AS cos
+        |  FROM emb_s a JOIN emb_s b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id),
+        |r AS (SELECT label, va, vb, cos,
+        |        row_number() OVER (PARTITION BY label ORDER BY cos DESC, va, vb) AS rk
+        |      FROM p)
+        |SELECT label, va, vb, cos FROM r WHERE rk = 1 ORDER BY label""") { (s, d) =>
+      S.blockedClosestPair(
+          T.embeddings(s, d).filter(col("vec_id") % 40 === 0),
+          "label", "vec_id", "embedding", maxBlock = 512)
+        .orderBy("label")
+    },
+
+    QueryDef("em2_slice_cosine_near_dup",
+      """WITH emb_s AS (SELECT * FROM embeddings WHERE vec_id % 40 = 0),
+        |p AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    round(
+        |      list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+        |      6) AS cos
+        |  FROM emb_s a JOIN emb_s b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id),
+        |c AS (SELECT vb AS vec_id, min(va) AS canon
+        |      FROM p WHERE cos >= 0.35 GROUP BY vb)
+        |SELECT e.vec_id, e.label,
+        |       coalesce(c.canon, e.vec_id) AS canonical_id,
+        |       c.canon IS NOT NULL AS is_dup
+        |FROM emb_s e LEFT JOIN c USING (vec_id)
+        |ORDER BY e.vec_id""") { (s, d) =>
+      val emb = T.embeddings(s, d).filter(col("vec_id") % 40 === 0)
+      val canon = S.blockedPairs(emb, "label", "vec_id", "embedding",
+          maxBlock = 512)
+        .filter(col("cos") >= 0.35)
+        .groupBy(col("vb").as("vec_id"))
+        .agg(min(col("va")).as("__canon"))
+      emb.select(col("vec_id"), col("label"))
+        .join(canon, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"),
+          coalesce(col("__canon"), col("vec_id")).as("canonical_id"),
+          col("__canon").isNotNull.as("is_dup"))
+        .orderBy("vec_id")
+    },
+
     // IVF pruned top-k over k-means cells: probe the 8 nearest of 25
     // cells per query (~32% of candidates scanned), rank only their
     // members. This is the plan that survives 100 TB: broadcast

@@ -401,6 +401,90 @@ object TextQueries {
         |ORDER BY doc_a, doc_b""") { (s, d) =>
       Dedup.simhashNearDup(T.documents(s, d), "doc_id", "text")
         .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- deterministic-slice twins: direct 100x-scale oracles --------
+    //
+    // t7/t11's full oracles explode docs x tokens x bits in SQL and
+    // exceed DuckDB's memory at the sf10 (100x) scale point, so their
+    // full-corpus correctness there rests on sf1/sf3 rows + test pins.
+    // These twins run the SAME pipeline on a keyed slice chosen so the
+    // oracle stays tractable at ANY scale while the slice preserves the
+    // structure that makes the query interesting: scale-up replication
+    // offsets doc_id by multiples of the base corpus size (a multiple of
+    // 50 — scripts/datagen.py), so `doc_id % 50 = 0` keeps every replica
+    // of the selected base docs and the slice stays dup-cluster-rich at
+    // 100x (it is NOT a pair-destroying random sample). At tiny sf the
+    // slice may contain no near-dup pair — an empty result both engines
+    // agree on.
+    QueryDef("t7_slice_simhash",
+      """WITH documents_s AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS t
+        |  FROM documents_s),
+        |th AS (SELECT doc_id, md5(t) AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    CASE j % 4
+        |      WHEN 0 THEN (strpos('0123456789abcdef', substr(h, j // 4 + 1, 1)) - 1) // 8 % 2
+        |      WHEN 1 THEN (strpos('0123456789abcdef', substr(h, j // 4 + 1, 1)) - 1) // 4 % 2
+        |      WHEN 2 THEN (strpos('0123456789abcdef', substr(h, j // 4 + 1, 1)) - 1) // 2 % 2
+        |      ELSE (strpos('0123456789abcdef', substr(h, j // 4 + 1, 1)) - 1) % 2
+        |    END AS bit
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS j)),
+        |sums AS (SELECT doc_id, j, sum(bit * 2 - 1) AS c FROM bits GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  string_agg(CASE WHEN c > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+        |FROM sums GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+      T.documents(s, d).filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), TX.tokensLower(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), TX.simhash32(col("tk")).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    QueryDef("t11_slice_simhash_near_dup",
+      """WITH documents_s AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS t
+        |  FROM documents_s),
+        |th AS (SELECT doc_id, md5(t) AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    CASE j % 4
+        |      WHEN 0 THEN (strpos('0123456789abcdef', substr(h, j // 4 + 1, 1)) - 1) // 8 % 2
+        |      WHEN 1 THEN (strpos('0123456789abcdef', substr(h, j // 4 + 1, 1)) - 1) // 4 % 2
+        |      WHEN 2 THEN (strpos('0123456789abcdef', substr(h, j // 4 + 1, 1)) - 1) // 2 % 2
+        |      ELSE (strpos('0123456789abcdef', substr(h, j // 4 + 1, 1)) - 1) % 2
+        |    END AS bit
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS j)),
+        |sums AS (SELECT doc_id, j, sum(bit * 2 - 1) AS c FROM bits GROUP BY doc_id, j),
+        |fp AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN c > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sh
+        |  FROM sums GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, sh, b, substr(sh, CAST(16 * b + 1 AS INT), 16) AS bk
+        |  FROM fp CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.sh AS sha, b.sh AS shb
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk
+        |    AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CASE WHEN substr(sha, CAST(i AS INT), 1) <> substr(shb, CAST(i AS INT), 1)
+        |           THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |  FROM cand)
+        |WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""") { (s, d) =>
+      Dedup.simhashNearDup(
+          T.documents(s, d).filter(col("doc_id") % 50 === 0),
+          "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
     }
   )
 }
