@@ -92,6 +92,35 @@ object Codecs {
       img.getColorModel.getNumColorComponents, sum / (w.toLong * h))
   }
 
+  /** Full-raster LDR decode to a Rec.601 grayscale array (row-major,
+    * 0..255) — the codec half of the scan→decode→detect pixel pipeline
+    * (reference: cv2.imread + cvtColor(BGR2GRAY), pixel_processing.py:
+    * 15-17). Same header-first dimension cap as decodeLdr; fails loudly
+    * on undecodable payloads (the caller decides whether a bad frame
+    * skips or aborts — px4 aborts, the reference's act_img.py:287-289
+    * tolerance is the S3 decode() dispatcher's stub fallback).
+    */
+  def decodeGrayLdr(path: String, bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    val img = try {
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"no ImageIO reader for $path")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val hw = reader.getWidth(0)
+        val hh = reader.getHeight(0)
+        require(hw > 0 && hh > 0 && hw.toLong * hh <= MaxLdrPixels,
+          s"$path declares ${hw}x$hh, over the ${MaxLdrPixels}px decode cap")
+        reader.read(0)
+      } finally reader.dispose()
+    } finally iis.close()
+    require(img != null, s"ImageIO could not decode $path")
+    val w = img.getWidth
+    val h = img.getHeight
+    (w, h, Corners.argbToGray(img.getRGB(0, 0, w, h, null, 0, w)))
+  }
+
   /** Radiance RGBE `.hdr`: header (until the blank line) + `-Y h +X w`
     * resolution + h scanlines, each either new-RLE (w in [8,32767],
     * scanline starts 0x02 0x02 hi lo with hi<<8|lo == w: four

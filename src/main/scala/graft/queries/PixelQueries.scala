@@ -152,6 +152,86 @@ object PixelQueries {
           "w_tr_x", "w_tr_y", "w_br_x", "w_br_y", "w_bl_x", "w_bl_y",
           "n_bright")
         .orderBy("n_nationkey")
+    },
+
+    // PX4: the 100 TB form px1's comments promise, as a declared query —
+    // REAL image FILES scanned via binaryFile (S1), decoded by the real
+    // codec (Codecs.decodeGrayLdr = ImageIO PNG + Rec.601), corners
+    // detected on the decoded raster, joined back to the nation dim.
+    // Frames are px1's exact geometry written once as PNG fixtures
+    // (render → encode → disk; grayscale PNG of equal RGB channels is
+    // lossless, pinned in CornersSpec's round-trip test), so the oracle
+    // is px1's closed form. Scale shape: binaryFile pre-partitions by
+    // file, decode+detect run inside one mapPartitions with no shuffle
+    // until the dim-sized broadcast join + final ORDER BY.
+    QueryDef("px4_scan_decode_detect",
+      """SELECT n_nationkey,
+        |  40 + 9*(n_nationkey%13) - 1   AS tl_x,
+        |  50 + 7*(n_nationkey%17)       AS tl_y,
+        |  40 + 9*(n_nationkey%13) + 339 AS tr_x,
+        |  50 + 7*(n_nationkey%17) - 1   AS tr_y,
+        |  40 + 9*(n_nationkey%13) + 340 AS br_x,
+        |  50 + 7*(n_nationkey%17) + 289 AS br_y,
+        |  40 + 9*(n_nationkey%13)       AS bl_x,
+        |  50 + 7*(n_nationkey%17) + 290 AS bl_y
+        |FROM nation ORDER BY n_nationkey""") { (s, d) =>
+      import s.implicits._
+      val frames = frameFixtures()
+      val detected = graft.ops.Sources
+        .binaryScan(s, frames, Some("*.png"))
+        .select(regexp_extract(col("path"), "frame_(\\d+)\\.png$", 1)
+          .cast("int").as("n_nationkey"), col("content"))
+        .as[(Int, Array[Byte])]
+        .map { case (k, bytes) =>
+          val (w, h, gray) =
+            graft.ops.Codecs.decodeGrayLdr(s"frame_$k.png", bytes)
+          val q = Corners.cornerPixelExtract(gray, w, h)
+            .getOrElse(sys.error(s"px4: no quadrilateral in frame $k"))
+          (k, q.tlX, q.tlY, q.trX, q.trY, q.brX, q.brY, q.blX, q.blY)
+        }
+        .toDF("n_nationkey", "tl_x", "tl_y", "tr_x", "tr_y",
+          "br_x", "br_y", "bl_x", "bl_y")
+      // inner join against the dim: only keys present in nation survive,
+      // and the 25-row side broadcasts
+      T.nation(s, d).select(col("n_nationkey").cast("int").as("n_nationkey"))
+        .hint("broadcast")
+        .join(detected, "n_nationkey")
+        .orderBy("n_nationkey")
     }
   )
+
+  /** px4's PNG fixture dir: 25 frames (keys 0..24, px1's geometry) under
+    * the JVM temp dir, rendered on first use and reused after — the
+    * fixture GENERATOR for the scan path, not part of the query's work
+    * (a real corpus's image files already exist). Written file-by-file
+    * via atomic rename so a concurrent first use cannot observe a
+    * half-written PNG.
+    */
+  private lazy val frameFixtures: () => String = () => {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-px4-frames")
+    dir.mkdirs()
+    (0 until 25).foreach { k =>
+      val f = new java.io.File(dir, s"frame_$k.png")
+      if (!f.isFile) {
+        val x0 = 40 + 9 * (k % 13)
+        val y0 = 50 + 7 * (k % 17)
+        val gray = Corners.renderRect(W, W, x0, y0, RW, RH)
+        val img = new java.awt.image.BufferedImage(
+          W, W, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < gray.length) {
+          val v = gray(i)
+          img.setRGB(i % W, i / W, (v << 16) | (v << 8) | v)
+          i += 1
+        }
+        val tmp = java.io.File.createTempFile(s"frame_$k", ".tmp", dir)
+        javax.imageio.ImageIO.write(img, "png", tmp)
+        if (!tmp.renameTo(f) && !f.isFile)
+          sys.error(s"px4: could not publish fixture ${f.getPath}")
+        tmp.delete() // no-op if the rename won
+      }
+    }
+    dir.getPath
+  }
 }
