@@ -532,6 +532,252 @@ object Corners {
     })
   }
 
+  // ---------------------------------------------------------------------
+  // General-pose chessboard detection — the photographed-board form of
+  // chessboardCorners (camera_calib.py:70-77: findChessboardCorners'
+  // internal homography-aware ordering + cornerSubPix refinement).
+  // Axis-aligned sort-by-y-then-x ordering breaks the moment the board
+  // tilts; here the grid is assembled by fitting a homography from the
+  // lattice's four extreme corners and assigning every candidate to the
+  // lattice node it lands on in board space, then each corner is refined
+  // to the gray-surface saddle point by the gradient-orthogonality
+  // iteration (for every q near a corner p, the image gradient at q is
+  // perpendicular to q−p; cornerSubPix's normal equations).
+  // ---------------------------------------------------------------------
+
+  /** Bilinear sample of a raster at a real position (border clamped). */
+  @inline private def bilin(g: Array[Int], w: Int, h: Int,
+      x: Double, y: Double): Double = {
+    val x0 = math.floor(x).toInt; val y0 = math.floor(y).toInt
+    val fx = x - x0; val fy = y - y0
+    @inline def at(xi: Int, yi: Int): Double = {
+      val cx = math.max(0, math.min(w - 1, xi))
+      val cy = math.max(0, math.min(h - 1, yi))
+      g(cy * w + cx).toDouble
+    }
+    at(x0, y0) * (1 - fx) * (1 - fy) + at(x0 + 1, y0) * fx * (1 - fy) +
+      at(x0, y0 + 1) * (1 - fx) * fy + at(x0 + 1, y0 + 1) * fx * fy
+  }
+
+  /** Saddle-point subpixel refinement (cornerSubPix's iteration): solve
+    * Σ w·∇I∇Iᵀ·(q − p) = 0 over a (2r+1)² window of bilinear samples
+    * around the current estimate, Gaussian-weighted (σ = r/2), until the
+    * update is below 1e-4 px. Returns the input unchanged when the
+    * normal matrix is near-singular (flat window — no corner).
+    */
+  def saddleRefine(g: Array[Int], w: Int, h: Int,
+      px: Double, py: Double, r: Int = 5, iters: Int = 20): (Double, Double) = {
+    var cx = px; var cy = py
+    val sigma2 = (r / 2.0) * (r / 2.0)
+    var it = 0
+    var moved = true
+    while (it < iters && moved) {
+      var a = 0.0; var b = 0.0; var c = 0.0 // G = [a b; b c]
+      var bx = 0.0; var by = 0.0
+      var dy = -r
+      while (dy <= r) {
+        var dx = -r
+        while (dx <= r) {
+          val qx = cx + dx; val qy = cy + dy
+          val gx = (bilin(g, w, h, qx + 1, qy) - bilin(g, w, h, qx - 1, qy)) / 2
+          val gy = (bilin(g, w, h, qx, qy + 1) - bilin(g, w, h, qx, qy - 1)) / 2
+          val wt = math.exp(-(dx * dx + dy * dy) / (2 * sigma2))
+          a += wt * gx * gx; b += wt * gx * gy; c += wt * gy * gy
+          bx += wt * (gx * gx * qx + gx * gy * qy)
+          by += wt * (gx * gy * qx + gy * gy * qy)
+          dx += 1
+        }
+        dy += 1
+      }
+      val det = a * c - b * b
+      if (math.abs(det) < 1e-9) { moved = false }
+      else {
+        val nx = (c * bx - b * by) / det
+        val ny = (a * by - b * bx) / det
+        moved = math.max(math.abs(nx - cx), math.abs(ny - cy)) > 1e-4
+        cx = nx; cy = ny
+      }
+      it += 1
+    }
+    (cx, cy)
+  }
+
+  /** Andrew monotone-chain convex hull (counter-clockwise in image
+    * coords, no collinear points kept).
+    */
+  private def convexHull(pts: Seq[(Double, Double)]): IndexedSeq[(Double, Double)] = {
+    val s = pts.distinct.sortBy(p => (p._1, p._2)).toIndexedSeq
+    if (s.length <= 2) return s
+    @inline def cross(o: (Double, Double), a: (Double, Double),
+        b: (Double, Double)): Double =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    def half(seq: IndexedSeq[(Double, Double)]) = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      seq.foreach { p =>
+        while (out.length >= 2 && cross(out(out.length - 2), out.last, p) <= 0)
+          out.remove(out.length - 1)
+        out += p
+      }
+      out.dropRight(1)
+    }
+    (half(s) ++ half(s.reverse)).toIndexedSeq
+  }
+
+  /** The 4 hull vertices spanning the maximum-area quadrilateral — under
+    * any homography the lattice boundary stays 4 straight lines, so these
+    * are the grid's corner nodes (mid-edge hull points are near-collinear
+    * with them and lose on area). O(h⁴) over the hull — fine at h ≲ 40.
+    */
+  private def extremeQuad(hull: IndexedSeq[(Double, Double)])
+      : IndexedSeq[(Double, Double)] = {
+    val n = hull.length
+    require(n >= 4, s"hull has only $n vertices")
+    @inline def area2(a: (Double, Double), b: (Double, Double),
+        c: (Double, Double)): Double =
+      math.abs((b._1 - a._1) * (c._2 - a._2) - (b._2 - a._2) * (c._1 - a._1))
+    var best = (0, 1, 2, 3); var bestA = -1.0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        var k = j + 1
+        while (k < n) {
+          var l = k + 1
+          while (l < n) {
+            val ar = area2(hull(i), hull(j), hull(k)) +
+              area2(hull(i), hull(k), hull(l))
+            if (ar > bestA) { bestA = ar; best = (i, j, k, l) }
+            l += 1
+          }
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    IndexedSeq(hull(best._1), hull(best._2), hull(best._3), hull(best._4))
+  }
+
+  /** Homography-aware grid assembly: fit H from the four lattice-corner
+    * nodes to the four extreme candidates, pull every candidate back to
+    * board space through H⁻¹, and accept the first cyclic assignment
+    * (4 starts × 2 directions, fixed enumeration order — a chessboard's
+    * 180° symmetry makes one of two orientations a deterministic pick,
+    * exactly as the reference pipeline keys its boards) under which the
+    * candidates biject onto the cols×rows lattice with every residual
+    * under `tol` of a node.
+    */
+  private def orderByHomography(cands: Seq[(Double, Double)],
+      cols: Int, rows: Int, tol: Double = 0.3): Option[Seq[BoardCorner]] = {
+    val hull = convexHull(cands)
+    if (hull.length < 4) return None
+    val ext = extremeQuad(hull)
+    val gridCorners = Seq((0.0, 0.0), (cols - 1.0, 0.0),
+      (cols - 1.0, rows - 1.0), (0.0, rows - 1.0))
+    // Handedness gate: a mirror in board space is affine, so EVERY
+    // mirrored corner assignment also bijects through its homography —
+    // but a physical board seen by a camera is never mirror-imaged.
+    // Keep only assignments whose image-quad winding (shoelace sign)
+    // matches the grid corners' winding; that leaves the identity and
+    // the board's genuine 180° symmetry.
+    @inline def shoelace(q: Seq[(Double, Double)]): Double =
+      q.indices.map { t =>
+        val (x1, y1) = q(t); val (x2, y2) = q((t + 1) % q.length)
+        x1 * y2 - x2 * y1
+      }.sum
+    val gridSign = math.signum(shoelace(gridCorners))
+    val assignments = (for {
+      start <- 0 until 4
+      dir <- Seq(1, -1)
+    } yield (0 until 4).map(t => ext((start + dir * t + 8) % 4)))
+      .filter(q => math.signum(shoelace(q.toSeq)) == gridSign)
+    assignments.iterator.flatMap { imgC =>
+      val hm = try Geometry.solveHomography(gridCorners, imgC.map(p => (p._1, p._2)))
+      catch { case _: IllegalArgumentException => null }
+      if (hm == null) None
+      else {
+        val inv = Warp.invert3(hm.toIndexedSeq)
+        val slots = Array.fill(rows * cols)(-1)
+        var ok = true
+        var ci = 0
+        while (ok && ci < cands.length) {
+          val (x, y) = cands(ci)
+          val den = inv(6) * x + inv(7) * y + inv(8)
+          if (math.abs(den) < 1e-12) ok = false
+          else {
+            val u = (inv(0) * x + inv(1) * y + inv(2)) / den
+            val v = (inv(3) * x + inv(4) * y + inv(5)) / den
+            val iu = math.rint(u).toInt; val iv = math.rint(v).toInt
+            if (iu < 0 || iu >= cols || iv < 0 || iv >= rows ||
+                math.max(math.abs(u - iu), math.abs(v - iv)) > tol ||
+                slots(iv * cols + iu) >= 0) ok = false
+            else slots(iv * cols + iu) = ci
+          }
+          ci += 1
+        }
+        if (ok && slots.forall(_ >= 0))
+          Some((for (j <- 0 until rows; i <- 0 until cols) yield {
+            val (cx, cy) = cands(slots(j * cols + i))
+            BoardCorner(i, j, cx, cy)
+          }).toSeq)
+        else None
+      }
+    }.nextOption()
+  }
+
+  /** General-pose detector: like chessboardCorners but valid for
+    * rotated / perspective-distorted boards. Squares are recovered as
+    * approxPolyDP quads of the eroded-black contours (a warped square's
+    * compressed trace has many vertices; ε = 0.02·peri collapses it back
+    * to 4), inner-corner candidates are diagonal corner pairs of
+    * different quads (Chebyshev ≤ 5 — erosion pulls each square in ~1 px,
+    * DP adds ≲2 px under perspective), the grid is assembled through the
+    * lattice homography, and each corner is refined to the gray saddle
+    * point. Positions are in HALF-scale coordinates like
+    * chessboardCorners (the reference calibrates in resized coords).
+    */
+  def chessboardCornersGeneral(gray: Array[Int], w: Int, h: Int,
+      cols: Int = 9, rows: Int = 11): Option[Seq[BoardCorner]] = {
+    val (g2, w2, h2) = halfScale(gray, w, h)
+    val black = g2.map(_ < 128)
+    val eroded = erode3(black, w2, h2)
+    val quads = externalContours(eroded, w2, h2).flatMap { c =>
+      if (c.length < 4) None
+      else {
+        val ap = approxPolyDP(c, 0.02 * arcLength(c))
+        if (ap.length == 4) Some(ap) else None
+      }
+    }
+    val pts = quads.zipWithIndex.flatMap { case (q, qi) => q.map(p => (p, qi)) }
+    val used = scala.collection.mutable.Set.empty[Int]
+    val corners = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var a = 0
+    while (a < pts.length) {
+      if (!used(a)) {
+        val ((ax, ay), aq) = pts(a)
+        var b = a + 1
+        var hit = -1
+        while (hit < 0 && b < pts.length) {
+          val ((bx, by), bq) = pts(b)
+          if (!used(b) && bq != aq &&
+              math.max(math.abs(ax - bx), math.abs(ay - by)) <= 5) hit = b
+          b += 1
+        }
+        if (hit >= 0) {
+          val ((bx, by), _) = pts(hit)
+          used += a; used += hit
+          corners += (((ax + bx) / 2.0, (ay + by) / 2.0))
+        }
+      }
+      a += 1
+    }
+    if (corners.size != cols * rows) return None
+    orderByHomography(corners.toSeq, cols, rows).map(_.map { bc =>
+      val (rx, ry) = saddleRefine(g2, w2, h2, bc.cx, bc.cy)
+      BoardCorner(bc.i, bc.j, rx, ry)
+    })
+  }
+
   /** Synthetic chessboard render: (cols+1)×(rows+1) alternating squares
     * of side `sq` px, black where (si+sj) is even, origin (x0,y0), white
     * ground — the engine's stand-in for the reference's photographed

@@ -261,4 +261,73 @@ class CornersSpec extends SparkSpec {
     val q2 = cornerPixelExtract(gray, 640, 640)
     assert(q1 === q2 && q1.nonEmpty)
   }
+
+  test("general-pose chessboard: rotated/perspective board to <0.1 px") {
+    import graft.ops.{Geometry, Warp}
+    val W = 640
+    // axis-aligned board (squares 40 px, spans x 60..460, y 40..520),
+    // pushed through a genuine rotation+perspective homography: the
+    // board's bounding box maps to an irregular convex quad (no edge
+    // stays axis-parallel, opposite edges not parallel)
+    val board = renderChessboard(W, W, 60, 40, 40)
+    val m = Geometry.solveHomography(
+      Seq((60.0, 40.0), (460.0, 40.0), (460.0, 520.0), (60.0, 520.0)),
+      Seq((120.0, 60.0), (490.0, 110.0), (430.0, 560.0), (70.0, 490.0)))
+    val warped = Warp.warpPerspective(board, W, W, m.toIndexedSeq, W, W)
+    // sanity: the axis-aligned detector must NOT handle this pose (its
+    // sort-by-y row assembly breaks) — the general path is doing real work
+    val axisDet = chessboardCorners(warped, W, W)
+    val det = chessboardCornersGeneral(warped, W, W)
+      .getOrElse(fail("general detector found no board"))
+    assert(det.size === 99)
+    assert(det.map(c => (c.i, c.j)).toSet ===
+      (for (j <- 0 until 11; i <- 0 until 9) yield (i, j)).toSet)
+    // analytic truth: inner corner (i,j) sits on the square boundary at
+    // full coords (60+(i+1)*40-0.5, 40+(j+1)*40-0.5); map through m,
+    // then into half-scale detection coords ((f-0.5)/2 — half pixel
+    // (u,v) covers full pixels (2u,2u+1)x(2v,2v+1))
+    def truth(i: Int, j: Int): (Double, Double) = {
+      val fx = 60 + (i + 1) * 40 - 0.5; val fy = 40 + (j + 1) * 40 - 0.5
+      val den = m(6) * fx + m(7) * fy + m(8)
+      val wx = (m(0) * fx + m(1) * fy + m(2)) / den
+      val wy = (m(3) * fx + m(4) * fy + m(5)) / den
+      ((wx - 0.5) / 2, (wy - 0.5) / 2)
+    }
+    // a chessboard is 180°-symmetric: the detector's deterministic pick
+    // may be either orientation — score both, require one under the gate
+    def maxErr(flip: Boolean): Double = det.map { c =>
+      val (i, j) = if (flip) (8 - c.i, 10 - c.j) else (c.i, c.j)
+      val (tx, ty) = truth(i, j)
+      math.hypot(c.cx - tx, c.cy - ty)
+    }.max
+    val e = math.min(maxErr(flip = false), maxErr(flip = true))
+    assert(e < 0.1, f"max corner error $e%.4f px (half-scale)")
+    // the axis-aligned detector either fails or mis-orders on this pose
+    assert(axisDet.isEmpty || {
+      def axisErr(flip: Boolean): Double = axisDet.get.map { c =>
+        val (i, j) = if (flip) (8 - c.i, 10 - c.j) else (c.i, c.j)
+        val (tx, ty) = truth(i, j)
+        math.hypot(c.cx - tx, c.cy - ty)
+      }.max
+      math.min(axisErr(flip = false), axisErr(flip = true)) > 1.0
+    })
+  }
+
+  test("general-pose chessboard: axis-aligned board still exact") {
+    // the general path must agree with the axis-aligned detector's
+    // closed-form positions (px2's oracle) on the synthetic surface,
+    // refined to within 0.1 px of the exact saddle midpoints
+    val W = 640
+    val board = renderChessboard(W, W, 64, 44, 40)
+    val det = chessboardCornersGeneral(board, W, W)
+      .getOrElse(fail("general detector found no axis-aligned board"))
+    def truth(i: Int, j: Int) =
+      (32.0 + (i + 1) * 20 - 0.5, 22.0 + (j + 1) * 20 - 0.5)
+    def maxErr(flip: Boolean): Double = det.map { c =>
+      val (i, j) = if (flip) (8 - c.i, 10 - c.j) else (c.i, c.j)
+      val (tx, ty) = truth(i, j)
+      math.hypot(c.cx - tx, c.cy - ty)
+    }.max
+    assert(math.min(maxErr(flip = false), maxErr(flip = true)) < 0.1)
+  }
 }
