@@ -50,6 +50,18 @@ def main():
     n_user = nxt("events", "user_id")
     n_doc = nxt("documents", "doc_id")
     n_vec = nxt("embeddings", "vec_id")
+    # The deterministic-slice oracle twins (t7_slice/t11_slice on
+    # doc_id % 50, em1_slice/em2_slice on vec_id % 40 — queries/
+    # TextQueries.scala, queries/EmbQueries.scala) are replica-preserving
+    # ONLY if the replication stride is a multiple of the slice modulus:
+    # doc_id + i*n_doc ≡ doc_id (mod 50) needs 50 | n_doc. If a future
+    # base corpus breaks this, the slice silently degrades from
+    # "every replica of a base-slice doc" to a near-random sample while
+    # all correctness rows keep passing — fail loudly here instead.
+    assert n_doc % 50 == 0, \
+        f"documents base count {n_doc} not a multiple of 50 — breaks doc_id%50 slice twins"
+    assert n_vec % 40 == 0, \
+        f"embeddings base count {n_vec} not a multiple of 40 — breaks vec_id%40 slice twins"
 
     rep = f"CROSS JOIN (SELECT unnest(range({mult})) AS i) r"
 

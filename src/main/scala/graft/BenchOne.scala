@@ -38,6 +38,10 @@ object BenchOne {
       // may do eager driver-side work (e.g. collecting tiny centroid
       // tables) that belongs in the reported time
       val walls = (1 to reps).map { _ =>
+        // mirror Bench.scala: release graft caches BEFORE timing, so
+        // reps 2+ of a caching query (e.g. t11's fp.cache()) measure the
+        // full computation, not a cache hit
+        graft.ops.Caches.releaseAll(spark)
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         ((System.nanoTime() - t0) / 1e9, n)

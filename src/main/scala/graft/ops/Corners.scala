@@ -692,11 +692,15 @@ object Corners {
     } yield (0 until 4).map(t => ext((start + dir * t + 8) % 4)))
       .filter(q => math.signum(shoelace(q.toSeq)) == gridSign)
     assignments.iterator.flatMap { imgC =>
-      val hm = try Geometry.solveHomography(gridCorners, imgC.map(p => (p._1, p._2)))
-      catch { case _: IllegalArgumentException => null }
-      if (hm == null) None
+      // invert3 guarded like the solver: a degenerate candidate quad can
+      // pass the per-pivot check yet yield |det H| < 1e-12, and the
+      // Option contract is "skip this assignment", not "throw"
+      val inv = try {
+        val hm = Geometry.solveHomography(gridCorners, imgC.map(p => (p._1, p._2)))
+        Warp.invert3(hm.toIndexedSeq)
+      } catch { case _: IllegalArgumentException => null }
+      if (inv == null) None
       else {
-        val inv = Warp.invert3(hm.toIndexedSeq)
         val slots = Array.fill(rows * cols)(-1)
         var ok = true
         var ci = 0
