@@ -1,6 +1,6 @@
 #!/usr/bin/env bash
 # One-command scale-point evidence trail (dev tooling only — not part of
-# the shipped library): datagen -> Verify -> check -> baseline -> bench.
+# the shipped library): datagen -> Verify -> check -> bench -> baseline.
 #
 #   scripts/scalepoint.sh [sfDir] [mult] [tag]
 #
@@ -9,19 +9,30 @@
 #
 # The sf10 (100x) point needs the oracle skip-list — em1/em2 are
 # DuckDB-quadratic (hours each) and t7/t11's SQL formulations exceed
-# DuckDB's 70 GB in-memory limit at that scale. Their deterministic-slice
-# twins (t7_slice/t11_slice/em1_slice/em2_slice — same pipeline on a
-# replica-preserving keyed slice) are NOT skipped: they hash-match DuckDB
-# directly at sf10, so the skipped full-corpus oracles are covered by
-# slice rows at 100x plus full rows at sf1/sf3:
+# DuckDB's 70 GB in-memory limit at that scale; from sf30 the t6/t10
+# full oracles (193 s / 142 s at sf10, superlinear) join the list. The
+# deterministic-slice twins (t6_slice/t7_slice/t10_slice/t11_slice/
+# em1_slice/em2_slice — same pipeline on a replica-preserving keyed
+# slice) are NOT skipped: they hash-match DuckDB directly at 100x, so
+# every skipped full-corpus oracle is covered by a slice row at scale
+# plus full rows at sf1/sf3:
 #   SPARK_GRAFT_SKIP_ORACLES=em1_blocked_closest_pair,em2_cosine_near_dup,t11_simhash_near_dup,t7_simhash \
 #   SPARK_GRAFT_SINGLE_RUN_SEC=60 scripts/scalepoint.sh scratch/sf10 100 sf10
 #
+# Stage ORDER is artifact-first: the Spark bench (the round's contract
+# artifact, ~minutes) runs BEFORE the DuckDB baseline re-record (~hours
+# at sf10) and takes its ratios from the PRIOR BASELINE_<tag>.json when
+# one exists — a round boundary mid-sweep strands at worst the refreshed
+# denominators, never the headline number. Each stage drops a
+# .done_<stage> marker in scratch/scalepoint_<tag>/; re-running the
+# script skips completed stages (delete the marker dir, or run with
+# SPARK_GRAFT_FORCE=1, to redo from scratch).
+#
 # Produces, in the repo root:
-#   BASELINE_<tag>.json  — DuckDB per-query wall seconds at <sfDir>
 #   BENCH_<tag>.json     — graft.Bench line incl. vs_baseline_* ratios
+#   BASELINE_<tag>.json  — DuckDB per-query wall seconds at <sfDir>
 # and leaves the Verify dumps in scratch/verify_<tag>/ for inspection.
-# Fails fast (set -e) if any stage — including the 65-query check.py
+# Fails fast (set -e) if any stage — including the full check.py
 # correctness sweep — does not pass, so a round can't end with the
 # evidence half-generated.
 set -euo pipefail
@@ -32,6 +43,7 @@ MULT="${2:-10}"
 TAG="${3:-sf1}"
 SRC="${SPARK_GRAFT_SRC_SF:-/root/testdata/sf0.1}"
 VERIFY_DIR="scratch/verify_${TAG}"
+MARK_DIR="scratch/scalepoint_${TAG}"
 CPUS="${SPARK_GRAFT_CPUS:-32}"
 # local[32] with the dev default 8g heap is undersized for mult>=30
 # points (a real cluster has tens of GB per executor times N executors);
@@ -41,6 +53,11 @@ export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-32g}"
 # result is a single-core hour; check.py canonicalizes row order itself.
 export SPARK_GRAFT_DUMP_COALESCE="${SPARK_GRAFT_DUMP_COALESCE:-0}"
 
+if [ "${SPARK_GRAFT_FORCE:-0}" = "1" ]; then rm -rf "${MARK_DIR}"; fi
+mkdir -p "${MARK_DIR}"
+done_stage() { touch "${MARK_DIR}/.done_$1"; }
+skip_stage() { [ -f "${MARK_DIR}/.done_$1" ]; }
+
 if [ ! -f "${SF_DIR}/lineitem.parquet" ]; then
   echo "== datagen: ${SRC} x${MULT} -> ${SF_DIR} =="
   python3 scripts/datagen.py "${SRC}" "${SF_DIR}" "${MULT}"
@@ -48,28 +65,52 @@ else
   echo "== datagen: ${SF_DIR} already present, skipping =="
 fi
 
-echo "== verify: dumping all queries at ${SF_DIR} =="
-rm -rf "${VERIFY_DIR}"
-# SPARK_GRAFT_CPUS must reach the Verify JVM too — its default is
-# local[4] (the driver's modest sf0.01 gate), which at sf10 left 28 of
-# 32 cores idle for the whole dump stage
-SPARK_GRAFT_CPUS="${CPUS}" sbt "runMain graft.Verify ${SF_DIR} ${VERIFY_DIR}"
+if skip_stage verify; then
+  echo "== verify: done marker present, skipping =="
+else
+  echo "== verify: dumping all queries at ${SF_DIR} =="
+  rm -rf "${VERIFY_DIR}"
+  # SPARK_GRAFT_CPUS must reach the Verify JVM too — its default is
+  # local[4] (the driver's modest sf0.01 gate), which at sf10 left 28 of
+  # 32 cores idle for the whole dump stage
+  SPARK_GRAFT_CPUS="${CPUS}" sbt "runMain graft.Verify ${SF_DIR} ${VERIFY_DIR}"
+  done_stage verify
+fi
 
-echo "== check: DuckDB oracle compare (must be all-pass) =="
-python3 scripts/check.py "${SF_DIR}" "${VERIFY_DIR}"
+if skip_stage check; then
+  echo "== check: done marker present, skipping =="
+else
+  echo "== check: DuckDB oracle compare (must be all-pass) =="
+  python3 scripts/check.py "${SF_DIR}" "${VERIFY_DIR}"
+  done_stage check
+fi
 
-echo "== baseline: recording DuckDB wall times -> BASELINE_${TAG}.json =="
-python3 scripts/baseline.py "${SF_DIR}" "${VERIFY_DIR}" "BASELINE_${TAG}.json"
+if skip_stage bench; then
+  echo "== bench: done marker present, skipping =="
+else
+  if [ -f "BASELINE_${TAG}.json" ]; then
+    echo "== bench: graft.Bench vs existing BASELINE_${TAG}.json -> BENCH_${TAG}.json =="
+  else
+    echo "== bench: graft.Bench (no BASELINE_${TAG}.json yet - ratios omitted) -> BENCH_${TAG}.json =="
+  fi
+  # sbt prefixes forked-process stdout with "[info] ", so extract the JSON
+  # object rather than anchoring at line start
+  SPARK_GRAFT_SF_DIR="${SF_DIR}" \
+  SPARK_GRAFT_BASELINE="BASELINE_${TAG}.json" \
+  SPARK_GRAFT_CPUS="${CPUS}" \
+    sbt "runMain graft.Bench" | grep -o '{"metric".*}' | tail -1 \
+    > "BENCH_${TAG}.json"
+  test -s "BENCH_${TAG}.json" || { echo "bench produced no metric line" >&2; exit 1; }
+  done_stage bench
+fi
 
-echo "== bench: graft.Bench vs BASELINE_${TAG}.json -> BENCH_${TAG}.json =="
-# sbt prefixes forked-process stdout with "[info] ", so extract the JSON
-# object rather than anchoring at line start
-SPARK_GRAFT_SF_DIR="${SF_DIR}" \
-SPARK_GRAFT_BASELINE="BASELINE_${TAG}.json" \
-SPARK_GRAFT_CPUS="${CPUS}" \
-  sbt "runMain graft.Bench" | grep -o '{"metric".*}' | tail -1 \
-  > "BENCH_${TAG}.json"
-test -s "BENCH_${TAG}.json" || { echo "bench produced no metric line" >&2; exit 1; }
+if skip_stage baseline; then
+  echo "== baseline: done marker present, skipping =="
+else
+  echo "== baseline: recording DuckDB wall times -> BASELINE_${TAG}.json =="
+  python3 scripts/baseline.py "${SF_DIR}" "${VERIFY_DIR}" "BASELINE_${TAG}.json"
+  done_stage baseline
+fi
 
-echo "== done: BASELINE_${TAG}.json + BENCH_${TAG}.json =="
+echo "== done: BENCH_${TAG}.json + BASELINE_${TAG}.json =="
 cat "BENCH_${TAG}.json"

@@ -107,11 +107,10 @@ object Dedup {
     // the cache Spark recomputes it per subtree (no common exchange to
     // reuse). Released by the harness via Caches.releaseAll after the
     // query's action, per that object's contract.
-    val fp = docs
+    val fp = Caches.cached(docs
       .select(col(idCol), TextOps.tokensLower(col(textCol)).as("tk"))
       .filter(size(col("tk")) > 0)
-      .select(col(idCol), TextOps.simhash64Fast(col("tk")).as("sh"))
-      .cache()
+      .select(col(idCol), TextOps.simhash64Fast(col("tk")).as("sh")))
     // Fingerprint-level LSH, doc-level only for the final expansion.
     // A near-dup corpus is exactly the case where many docs SHARE a
     // fingerprint (templated/boilerplate clusters): the doc-level band

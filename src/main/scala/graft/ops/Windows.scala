@@ -94,8 +94,9 @@ object Windows {
     // plus the caller's action, and deserialized Row caching is ~3-5x the
     // footprint of the kryo/java-serialized form — at a 100 TB numbering
     // the deserialized level is the difference between spill and fit
-    val sortedRdd = sorted.rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val sortedRdd = Caches.persisted(sorted.rdd,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER,
+      "global-rownum-sorted")
     val counts = sortedRdd
       .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
       .collect().sortBy(_._1).map(_._2)

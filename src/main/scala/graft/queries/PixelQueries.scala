@@ -185,8 +185,123 @@ object PixelQueries {
         .hint("broadcast")
         .join(detected, "n_nationkey")
         .orderBy("n_nationkey")
+    },
+
+    // PX5: general-pose chessboard detection — the reference's real
+    // calibration workload (`camera_calib.py:61-77`: photographed boards
+    // at arbitrary tilt/perspective, resize 0.5 + findChessboardCorners
+    // (9,11)), which the axis-aligned px2 detector cannot handle. Each
+    // key derives a convex target quad; the board (squares 40 px, bbox
+    // (60,40)-(460,520)) is pushed through the unit-square->quad
+    // projective map (Heckbert's closed form) and re-detected with
+    // Corners.chessboardCornersGeneral.
+    //
+    // Oracle strategy (§7.4): the closed-form homography uses only
+    // +,-,*,/ from integers, so DuckDB computes the BIT-IDENTICAL truth
+    // corner positions (tx,ty, r9-rounded, in half-scale detection
+    // coords) from the same formulas; the detector itself is verified by
+    // `ok` — detected corner within 0.25 half-scale px of the truth
+    // (measured worst case over all 25 keys: 0.109 px; a detector
+    // regression flips `ok` and fails the hash). A board is
+    // 180°-symmetric, so the orientation minimizing the max error is
+    // scored, exactly like the reference's unambiguous-corner ordering.
+    QueryDef("px5_chessboard_general",
+      """WITH q AS (
+        |  SELECT n_nationkey,
+        |    110 + 3*(n_nationkey%5) AS x00, 55 + 3*(n_nationkey%7)  AS y00,
+        |    485 - 2*(n_nationkey%6) AS x10, 100 + 2*(n_nationkey%5) AS y10,
+        |    435 - 3*(n_nationkey%4) AS x11, 555 - 2*(n_nationkey%7) AS y11,
+        |    75 + 2*(n_nationkey%3)  AS x01, 495 - 3*(n_nationkey%5) AS y01
+        |  FROM nation),
+        |hm AS (
+        |  SELECT *,
+        |    ((x00 - x10 + x11 - x01) * (y01 - y11) - (y00 - y10 + y11 - y01) * (x01 - x11))
+        |      / ((x10 - x11) * (y01 - y11) - (y10 - y11) * (x01 - x11)) AS g,
+        |    ((x10 - x11) * (y00 - y10 + y11 - y01) - (y10 - y11) * (x00 - x10 + x11 - x01))
+        |      / ((x10 - x11) * (y01 - y11) - (y10 - y11) * (x01 - x11)) AS hh
+        |  FROM q),
+        |mm AS (
+        |  SELECT n_nationkey, g, hh,
+        |    x10 - x00 + g * x10  AS ma, x01 - x00 + hh * x01 AS mb, x00 AS mc,
+        |    y10 - y00 + g * y10  AS md, y01 - y00 + hh * y01 AS me, y00 AS mf
+        |  FROM hm),
+        |grid AS (
+        |  SELECT n_nationkey, ma, mb, mc, md, me, mf, g, hh, i, j,
+        |    ((i+1)*40 - 0.5) / 400 AS u, ((j+1)*40 - 0.5) / 480 AS v
+        |  FROM mm, generate_series(0, 8) t(i), generate_series(0, 10) s(j))
+        |SELECT n_nationkey, CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+        |  0.0 + floor(((ma*u + mb*v + mc) / (g*u + hh*v + 1) - 0.5) / 2 * 1e9 + 0.5) / 1e9 AS tx,
+        |  0.0 + floor(((md*u + me*v + mf) / (g*u + hh*v + 1) - 0.5) / 2 * 1e9 + 0.5) / 1e9 AS ty,
+        |  TRUE AS ok
+        |FROM grid ORDER BY n_nationkey, j, i""") { (s, d) =>
+      import s.implicits._
+      nationKeys(s, d)
+        .flatMap { k =>
+          val (hu, m) = px5Homography(k)
+          val board = Corners.renderChessboard(W, W, 60, 40, 40)
+          val warped = Warp.warpPerspective(board, W, W, m.toIndexedSeq, W, W)
+          val det = Corners.chessboardCornersGeneral(warped, W, W)
+            .getOrElse(sys.error(s"px5: board not found for key $k"))
+          val dm = det.map(c => ((c.i, c.j), (c.cx, c.cy))).toMap
+          // truth in half-scale coords, arithmetic ordered as the oracle
+          def truth(i: Int, j: Int): (Double, Double) = {
+            val u = ((i + 1) * 40 - 0.5) / 400
+            val v = ((j + 1) * 40 - 0.5) / 480
+            val dd = hu(6) * u + hu(7) * v + 1
+            (((hu(0) * u + hu(1) * v + hu(2)) / dd - 0.5) / 2,
+              ((hu(3) * u + hu(4) * v + hu(5)) / dd - 0.5) / 2)
+          }
+          def err(flip: Boolean): Double = (for { j <- 0 until 11; i <- 0 until 9 } yield {
+            val (dx, dy) = if (flip) dm((8 - i, 10 - j)) else dm((i, j))
+            val (tx, ty) = truth(i, j)
+            math.hypot(dx - tx, dy - ty)
+          }).max
+          val flip = err(flip = true) < err(flip = false)
+          for { j <- 0 until 11; i <- 0 until 9 } yield {
+            val (dx, dy) = if (flip) dm((8 - i, 10 - j)) else dm((i, j))
+            val (tx, ty) = truth(i, j)
+            def r9(x: Double): Double = 0.0 + math.floor(x * 1e9 + 0.5) / 1e9
+            (k, i, j, r9(tx), r9(ty), math.hypot(dx - tx, dy - ty) < 0.25)
+          }
+        }
+        .toDF("n_nationkey", "i", "j", "tx", "ty", "ok")
+        .orderBy("n_nationkey", "j", "i")
     }
   )
+
+  /** px5's key-derived pose: the unit-square→quad projective map
+    * (Heckbert closed form — integer corner coords so both engines
+    * compute bit-identical doubles) and the full src→dst warp matrix
+    * (that map composed with the board-bbox normalizer). Every key's
+    * quad is convex and at genuine rotation+perspective (no edge
+    * axis-parallel, opposite edges not parallel).
+    */
+  private def px5Homography(k: Int): (Array[Double], Array[Double]) = {
+    val x00 = 110 + 3 * (k % 5); val y00 = 55 + 3 * (k % 7)
+    val x10 = 485 - 2 * (k % 6); val y10 = 100 + 2 * (k % 5)
+    val x11 = 435 - 3 * (k % 4); val y11 = 555 - 2 * (k % 7)
+    val x01 = 75 + 2 * (k % 3); val y01 = 495 - 3 * (k % 5)
+    val den = ((x10 - x11) * (y01 - y11) - (y10 - y11) * (x01 - x11)).toDouble
+    val g = ((x00 - x10 + x11 - x01) * (y01 - y11) - (y00 - y10 + y11 - y01) * (x01 - x11)) / den
+    val h = ((x10 - x11) * (y00 - y10 + y11 - y01) - (y10 - y11) * (x00 - x10 + x11 - x01)) / den
+    val hu = Array(
+      x10 - x00 + g * x10, x01 - x00 + h * x01, x00.toDouble,
+      y10 - y00 + g * y10, y01 - y00 + h * y01, y00.toDouble,
+      g, h, 1.0)
+    // normalizer N: board coords -> unit square; full warp M = HU · N
+    val n = Array(1.0 / 400, 0.0, -60.0 / 400, 0.0, 1.0 / 480, -40.0 / 480, 0.0, 0.0, 1.0)
+    val m = new Array[Double](9)
+    var r = 0
+    while (r < 3) {
+      var c = 0
+      while (c < 3) {
+        m(r * 3 + c) = hu(r * 3) * n(c) + hu(r * 3 + 1) * n(3 + c) + hu(r * 3 + 2) * n(6 + c)
+        c += 1
+      }
+      r += 1
+    }
+    (hu, m)
+  }
 
   /** The nation keys fanned out one-per-partition for the px kernels.
     * The dim arrives as a single parquet split, which would serialize
@@ -213,11 +328,22 @@ object PixelQueries {
     * fixture GENERATOR for the scan path, not part of the query's work
     * (a real corpus's image files already exist). Written file-by-file
     * via atomic rename so a concurrent first use cannot observe a
-    * half-written PNG.
+    * half-written PNG. The dir name is versioned by the render content
+    * (a hash of key 0's raster plus the geometry constants): stale
+    * fixtures from an older checkout with a different render formula
+    * land in a DIFFERENT directory instead of being silently reused and
+    * surfacing as a confusing px4 hash mismatch.
     */
   private lazy val frameFixtures: () => String = () => {
+    val tag = {
+      val g0 = Corners.renderRect(W, W, 40, 50, RW, RH)
+      var hsh = 1469598103934665603L // FNV-1a over the key-0 raster
+      var i = 0
+      while (i < g0.length) { hsh ^= g0(i); hsh *= 1099511628211L; i += 1 }
+      f"${W}x${RW}x${RH}-${hsh & 0xffffffffL}%08x"
+    }
     val dir = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft-px4-frames")
+      sys.props("java.io.tmpdir"), s"graft-px4-frames-$tag")
     dir.mkdirs()
     (0 until 25).foreach { k =>
       val f = new java.io.File(dir, s"frame_$k.png")

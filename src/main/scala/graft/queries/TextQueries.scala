@@ -241,7 +241,7 @@ object TextQueries {
           array_distinct(TX.shinglesFast(TX.tokensLower(col("text")), 3))
             .as("shset"))
         .filter(size(col("shset")) > 0)
-        .cache()
+        .transform(graft.ops.Caches.cached(_))
       val cand = Dedup.nearDupCandidatesFromShingles(sh, "doc_id", "shset")
       // Intersection via per-pair ARRAY intersect of sorted 64-bit
       // shingle hashes, not an exploded (pair, shingle) join. The
@@ -485,6 +485,85 @@ object TextQueries {
           T.documents(s, d).filter(col("doc_id") % 50 === 0),
           "doc_id", "text")
         .orderBy("doc_a", "doc_b")
+    },
+
+    // t6/t10 slice twins: their FULL oracles are the two slowest DuckDB
+    // rows at sf10 (193 s and 142 s single-run) — tractable today, but
+    // the next scale point (sf30+) strands them exactly like t7/t11's.
+    // Same replica-preserving `doc_id % 50` slice (see the block comment
+    // above t7_slice): the slice oracle stays O(base-corpus) at ANY
+    // scale while still exercising the full banded-LSH / winnowing
+    // pipeline over a dup-cluster-rich subset.
+    QueryDef("t6_slice_near_dup_candidates",
+      """WITH documents_s AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents_s),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, len(tk) - 2),
+        |      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) AS shingles
+        |  FROM toks WHERE len(tk) >= 3),
+        |bases AS (
+        |  SELECT doc_id, list_transform(list_transform(shingles, s -> md5(s)), h ->
+        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+        |  + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+        |  + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+        |  + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+        |  + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)) AS bs
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 8), i ->
+        |    list_min(list_transform(bs, x ->
+        |      ([967079, 825269, 741103, 597269, 447841, 330287, 225961, 121021][i+1] * x
+        |       + [266489, 372893, 449287, 532951, 654803, 713681, 829601, 904441][i+1])
+        |      % 4294967311))) AS sg
+        |  FROM bases),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    md5(CAST(sg[2*b+1] AS VARCHAR) || CAST(sg[2*b+2] AS VARCHAR)) AS bk
+        |  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b ON a.bk = b.bk AND a.b = b.b
+        |  AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""") { (s, d) =>
+      Dedup.nearDupCandidates(
+          T.documents(s, d).filter(col("doc_id") % 50 === 0),
+          "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    QueryDef("t10_slice_winnow_fp",
+      """WITH documents_s AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 8 THEN
+        |      list_transform(range(1, length(text) - 6), i ->
+        |        CAST(list_sum(list_transform(range(0, 8), j ->
+        |          CAST(unicode(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)
+        |            * CAST(pow(31, 7 - j) AS BIGINT))) AS BIGINT))
+        |    ELSE [] END AS hs
+        |  FROM documents_s),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) >= 4 THEN
+        |      list_sort(list_distinct(list_transform(range(1, len(hs) - 2),
+        |        t -> list_min(hs[t:t+3]))))
+        |    ELSE [] END AS fps
+        |  FROM g)
+        |SELECT doc_id, generate_subscripts(fps, 1) - 1 AS pos,
+        |  unnest(fps) AS fp
+        |FROM m ORDER BY doc_id, pos""") { (s, d) =>
+      graft.expr.GraftFunctions.register(s)
+      T.documents(s, d).filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"),
+          TX.winnowFingerprintsFast(col("text"), 8, 4).as("fps"))
+        .select(col("doc_id"), posexplode(col("fps")).as(Seq("pos", "fp")))
+        .orderBy("doc_id", "pos")
     }
   )
 }
