@@ -9,15 +9,17 @@
 #
 # The sf10 (100x) point needs the oracle skip-list — em1/em2 are
 # DuckDB-quadratic (hours each) and t7/t11's SQL formulations exceed
-# DuckDB's 70 GB in-memory limit at that scale; from sf30 the t6/t10
-# full oracles (193 s / 142 s at sf10, superlinear) join the list. The
-# deterministic-slice twins (t6_slice/t7_slice/t10_slice/t11_slice/
-# em1_slice/em2_slice — same pipeline on a replica-preserving keyed
-# slice) are NOT skipped: they hash-match DuckDB directly at 100x, so
-# every skipped full-corpus oracle is covered by a slice row at scale
-# plus full rows at sf1/sf3:
+# DuckDB's 70 GB in-memory limit at that scale; from sf30 the t6/t8/t10
+# full oracles (193 s / ~800 s / 142 s at sf10, superlinear) join the
+# list. The deterministic-slice twins (t6_slice/t7_slice/t8_slice/
+# t10_slice/t11_slice/em1_slice/em2_slice — same pipeline on a
+# replica-preserving keyed slice) are NOT skipped: they hash-match
+# DuckDB directly at 100x+, so every skipped full-corpus oracle is
+# covered by a slice row at scale plus full rows at sf1/sf3:
 #   SPARK_GRAFT_SKIP_ORACLES=em1_blocked_closest_pair,em2_cosine_near_dup,t11_simhash_near_dup,t7_simhash \
 #   SPARK_GRAFT_SINGLE_RUN_SEC=60 scripts/scalepoint.sh scratch/sf10 100 sf10
+#   SPARK_GRAFT_SKIP_ORACLES=em1_blocked_closest_pair,em2_cosine_near_dup,t11_simhash_near_dup,t7_simhash,t6_near_dup_candidates,t8_jaccard_verify,t10_winnow_fp \
+#   SPARK_GRAFT_SINGLE_RUN_SEC=60 scripts/scalepoint.sh scratch/sf30 300 sf30
 #
 # Stage ORDER is artifact-first: the Spark bench (the round's contract
 # artifact, ~minutes) runs BEFORE the DuckDB baseline re-record (~hours
@@ -110,6 +112,13 @@ else
   echo "== baseline: recording DuckDB wall times -> BASELINE_${TAG}.json =="
   python3 scripts/baseline.py "${SF_DIR}" "${VERIFY_DIR}" "BASELINE_${TAG}.json"
   done_stage baseline
+fi
+
+# A brand-new scale point benches before any baseline exists, so its
+# bench JSON has raw seconds but no ratios; patch them in from the
+# just-recorded baseline with Bench.scala's exact formulas.
+if ! grep -q '"vs_baseline"' "BENCH_${TAG}.json"; then
+  python3 scripts/ratios.py "BENCH_${TAG}.json" "BASELINE_${TAG}.json"
 fi
 
 echo "== done: BENCH_${TAG}.json + BASELINE_${TAG}.json =="

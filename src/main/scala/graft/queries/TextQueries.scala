@@ -228,51 +228,7 @@ object TextQueries {
         |FROM cand JOIN sh sa ON sa.doc_id = doc_a
         |          JOIN sh sb ON sb.doc_id = doc_b
         |ORDER BY doc_a, doc_b""") { (s, d) =>
-      // tokenize/shingle ONCE (cached): the distinct set feeds both the
-      // MinHash candidate generation (min(md5) is multiset-invariant) and
-      // the exact Jaccard scoring. Jaccard itself is the exploded
-      // intersection-count shape — (doc, shingle) rows joined on the
-      // shingle, |A∪B| = |A|+|B|-|A∩B| — so candidate pairs never drag
-      // whole shingle arrays through a shuffle, and the expensive
-      // fingerprint subtree is never duplicated across a self-join.
-      graft.expr.GraftFunctions.register(s)
-      val sh = T.documents(s, d)
-        .select(col("doc_id"),
-          array_distinct(TX.shinglesFast(TX.tokensLower(col("text")), 3))
-            .as("shset"))
-        .filter(size(col("shset")) > 0)
-        .transform(graft.ops.Caches.cached(_))
-      val cand = Dedup.nearDupCandidatesFromShingles(sh, "doc_id", "shset")
-      // Intersection via per-pair ARRAY intersect of sorted 64-bit
-      // shingle hashes, not an exploded (pair, shingle) join. The
-      // exploded form materializes |pairs| x |shingles/doc| skinny rows —
-      // at sf10's 31.8M candidate pairs that is ~1.4 BILLION intermediate
-      // rows into a groupBy — while each pair here drags exactly two
-      // ~45-element long[] payloads (~23 GB total shuffle at sf10, one
-      // less shuffle stage, no billion-row aggregation): measured at sf3
-      // 43.4 -> 13.8 s cold with zero value differences over all 2.8M
-      // pairs. xxhash64 stands in for the shingle string in the
-      // intersection; a collision WITHIN one pair's two sets (the only
-      // way a count can change) has probability ~|A|·|B|/2^64 ≈ 1e-16
-      // per pair, and the DuckDB gate hash-compares every value. Both
-      // joins are hinted shuffle_hash: candidate pairs grow
-      // ~quadratically with the duplication factor (sf1: 296k pairs,
-      // sf3: 2.8M, sf10: ~32M), and at sf10 the static planner's size
-      // underestimate once chose to BROADCAST the intersection subtree
-      // and blew the driver heap.
-      val hashed = sh.select(col("doc_id"),
-        array_sort(expr("transform(shset, s -> xxhash64(s))")).as("hs"),
-        size(col("shset")).as("n"))
-      val ninter = size(array_intersect(col("ha"), col("hb")))
-      cand
-        .join(hashed.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
-          col("n").as("na")).hint("shuffle_hash"), "doc_a")
-        .join(hashed.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
-          col("n").as("nb")).hint("shuffle_hash"), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          round(ninter.cast("double") /
-            (col("na") + col("nb") - ninter), 6).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
+      jaccardVerify(s, T.documents(s, d))
     },
 
     // SimHash document fingerprint: one md5 per token, 32 sign bits.
@@ -564,6 +520,107 @@ object TextQueries {
           TX.winnowFingerprintsFast(col("text"), 8, 4).as("fps"))
         .select(col("doc_id"), posexplode(col("fps")).as(Seq("pos", "fp")))
         .orderBy("doc_id", "pos")
+    },
+
+    // t8's slice twin: the full Jaccard-verify oracle is the single
+    // heaviest DuckDB row (~800 s single-run at sf10, candidate pairs
+    // grow ~quadratically with the dup factor) — from sf30 it joins the
+    // skip-list alongside t6/t10, and this twin keeps the whole
+    // candidates -> exact-Jaccard verify pipeline directly hash-checked
+    // at every scale point on the same replica-preserving slice.
+    QueryDef("t8_slice_jaccard_verify",
+      """WITH documents_s AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents_s),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(0, len(tk) - 2),
+        |      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS shset
+        |  FROM toks WHERE len(tk) >= 3),
+        |bases AS (
+        |  SELECT doc_id, list_transform(list_transform(shset, s -> md5(s)), h ->
+        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+        |  + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+        |  + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+        |  + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+        |  + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+        |  + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+        |  + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+        |  + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)) AS bs
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 8), i ->
+        |    list_min(list_transform(bs, x ->
+        |      ([967079, 825269, 741103, 597269, 447841, 330287, 225961, 121021][i+1] * x
+        |       + [266489, 372893, 449287, 532951, 654803, 713681, 829601, 904441][i+1])
+        |      % 4294967311))) AS sg
+        |  FROM bases),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    md5(CAST(sg[2*b+1] AS VARCHAR) || CAST(sg[2*b+2] AS VARCHAR)) AS bk
+        |  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) AS t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.b = b.b
+        |    AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(sa.shset, sb.shset))), 6)
+        |    AS jaccard
+        |FROM cand JOIN sh sa ON sa.doc_id = doc_a
+        |          JOIN sh sb ON sb.doc_id = doc_b
+        |ORDER BY doc_a, doc_b""") { (s, d) =>
+      jaccardVerify(s, T.documents(s, d).filter(col("doc_id") % 50 === 0))
     }
   )
+
+  /** Shared body of t8_jaccard_verify and its `doc_id % 50` slice twin:
+    * banded-MinHash candidate pairs scored with EXACT shingle-set
+    * Jaccard. Tokenize/shingle ONCE (cached): the distinct set feeds
+    * both the MinHash candidate generation (min(md5) is
+    * multiset-invariant) and the exact Jaccard scoring.
+    *
+    * Intersection via per-pair ARRAY intersect of sorted 64-bit shingle
+    * hashes, not an exploded (pair, shingle) join. The exploded form
+    * materializes |pairs| x |shingles/doc| skinny rows — at sf10's 31.8M
+    * candidate pairs that is ~1.4 BILLION intermediate rows into a
+    * groupBy — while each pair here drags exactly two ~45-element long[]
+    * payloads (~23 GB total shuffle at sf10, one less shuffle stage, no
+    * billion-row aggregation): measured at sf3 43.4 -> 13.8 s cold with
+    * zero value differences over all 2.8M pairs. xxhash64 stands in for
+    * the shingle string in the intersection; a collision WITHIN one
+    * pair's two sets (the only way a count can change) has probability
+    * ~|A|·|B|/2^64 ≈ 1e-16 per pair, and the DuckDB gate hash-compares
+    * every value. Both joins are hinted shuffle_hash: candidate pairs
+    * grow ~quadratically with the duplication factor (sf1: 296k pairs,
+    * sf3: 2.8M, sf10: ~32M), and at sf10 the static planner's size
+    * underestimate once chose to BROADCAST the intersection subtree and
+    * blew the driver heap.
+    */
+  private def jaccardVerify(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.expr.GraftFunctions.register(s)
+    val sh = docs
+      .select(col("doc_id"),
+        array_distinct(TX.shinglesFast(TX.tokensLower(col("text")), 3))
+          .as("shset"))
+      .filter(size(col("shset")) > 0)
+      .transform(graft.ops.Caches.cached(_))
+    val cand = Dedup.nearDupCandidatesFromShingles(sh, "doc_id", "shset")
+    val hashed = sh.select(col("doc_id"),
+      array_sort(expr("transform(shset, s -> xxhash64(s))")).as("hs"),
+      size(col("shset")).as("n"))
+    val ninter = size(array_intersect(col("ha"), col("hb")))
+    cand
+      .join(hashed.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+        col("n").as("na")).hint("shuffle_hash"), "doc_a")
+      .join(hashed.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+        col("n").as("nb")).hint("shuffle_hash"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(ninter.cast("double") /
+          (col("na") + col("nb") - ninter), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
 }
