@@ -1,6 +1,6 @@
 #!/usr/bin/env bash
 # One-command scale-point evidence trail (dev tooling only — not part of
-# the shipped library): datagen -> Verify -> check -> bench -> baseline.
+# the shipped library): datagen -> Verify -> bench -> check -> baseline.
 #
 #   scripts/scalepoint.sh [sfDir] [mult] [tag]
 #
@@ -22,9 +22,11 @@
 #   SPARK_GRAFT_SINGLE_RUN_SEC=60 scripts/scalepoint.sh scratch/sf30 300 sf30
 #
 # Stage ORDER is artifact-first: the Spark bench (the round's contract
-# artifact, ~minutes) runs BEFORE the DuckDB baseline re-record (~hours
-# at sf10) and takes its ratios from the PRIOR BASELINE_<tag>.json when
-# one exists — a round boundary mid-sweep strands at worst the refreshed
+# artifact, ~minutes) runs BEFORE both DuckDB stages — the oracle
+# compare and the baseline re-record (each ~hours at sf10+) — and takes
+# its ratios from the PRIOR BASELINE_<tag>.json when one exists (for a
+# brand-new point scripts/ratios.py patches them in after the baseline
+# stage) — a round boundary mid-sweep strands at worst the refreshed
 # denominators, never the headline number. Each stage drops a
 # .done_<stage> marker in scratch/scalepoint_<tag>/; re-running the
 # script skips completed stages (delete the marker dir, or run with
@@ -79,14 +81,6 @@ else
   done_stage verify
 fi
 
-if skip_stage check; then
-  echo "== check: done marker present, skipping =="
-else
-  echo "== check: DuckDB oracle compare (must be all-pass) =="
-  python3 scripts/check.py "${SF_DIR}" "${VERIFY_DIR}"
-  done_stage check
-fi
-
 if skip_stage bench; then
   echo "== bench: done marker present, skipping =="
 else
@@ -104,6 +98,14 @@ else
     > "BENCH_${TAG}.json"
   test -s "BENCH_${TAG}.json" || { echo "bench produced no metric line" >&2; exit 1; }
   done_stage bench
+fi
+
+if skip_stage check; then
+  echo "== check: done marker present, skipping =="
+else
+  echo "== check: DuckDB oracle compare (must be all-pass) =="
+  python3 scripts/check.py "${SF_DIR}" "${VERIFY_DIR}"
+  done_stage check
 fi
 
 if skip_stage baseline; then
