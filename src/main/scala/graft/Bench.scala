@@ -139,7 +139,16 @@ object Bench {
     val idxLine = "sim3_index_build" ->
       (if (idxOk) (System.nanoTime() - idx0) / 1e9 else -1.0)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
-    val results = (SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Same scale-point knob as graft.Verify: a query whose single-node
+    // shuffle footprint exceeds the box at a huge mult is left out of the
+    // sweep; the JSON records the omission in "skipped_queries" so a
+    // bench line can never silently pass itself off as full-surface.
+    val skipQ = sys.env.getOrElse("SPARK_GRAFT_SKIP_QUERIES", "")
+      .split(",").filter(_.nonEmpty).toSet
+    skipQ.foreach(n => System.err.println(
+      s"[bench] $n SKIPPED (SPARK_GRAFT_SKIP_QUERIES)"))
+    val results = (SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot(q => skipQ(q._1)).map { case (name, fn) =>
       val walls = (1 to reps).flatMap { _ =>
         // release BEFORE timing, not after: each rep then measures the
         // full computation (CacheManager matches by logical plan, so
@@ -206,7 +215,11 @@ object Bench {
           s""","vs_baseline":$rs""" +
           s""","vs_baseline_geomean":${num(geomean, 3)}"""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"$ratioPart}""")
+    val skipPart =
+      if (skipQ.isEmpty) ""
+      else skipQ.toSeq.sorted.map("\"" + _ + "\"")
+        .mkString(""","skipped_queries":[""", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"$skipPart$ratioPart}""")
     spark.stop()
   }
 }

@@ -31,8 +31,21 @@ object Verify {
     // A query that throws must NOT vanish silently (r10 shipped a 4-query
     // regression that way): record every failure and exit non-zero.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Scale-point knob (dev tooling; the driver never sets it): a query
+    // whose single-node footprint exceeds the box at a huge mult — t8's
+    // candidate-pair join shuffles ~pairs x |shingle set| bytes, ~9x the
+    // sf10 volume at sf30, past this box's free disk — is skipped here
+    // and covered by its slice twin plus full rows at smaller points.
+    // Must be paired with the same name in SPARK_GRAFT_SKIP_ORACLES or
+    // check.py fails on the missing dump (deliberate: a skip must be
+    // declared on both sides to count as a skip, not a silent gap).
+    val skipQ = sys.env.getOrElse("SPARK_GRAFT_SKIP_QUERIES", "")
+      .split(",").filter(_.nonEmpty).toSet
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (only.isEmpty || only(name)) {
+      if (skipQ(name)) {
+        if (only.isEmpty || only(name))
+          System.err.println(s"[verify] $name SKIPPED (SPARK_GRAFT_SKIP_QUERIES)")
+      } else if (only.isEmpty || only(name)) {
         try {
           val df = fn(spark, sfDir)
           (if (parts > 0) df.coalesce(parts) else df)
