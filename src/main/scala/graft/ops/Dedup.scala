@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication for a large-scale training-data pipeline: exact
@@ -31,6 +31,14 @@ object Dedup {
     * pairs ≪ n² by construction (asserted in the test suite). Docs with
     * fewer than k tokens produce no shingles and are excluded, mirroring
     * the guarded `TextOps.shingles`.
+    *
+    * Runs at SET level (see [[bySet]]): the banding is computed once per
+    * DISTINCT shingle set, and doc pairs are recovered by expansion.
+    * Valid because the MinHash signature — and hence every band key — is
+    * a function of the distinct shingle set alone (min over a multiset
+    * equals min over its support), so two docs with the same set always
+    * share all bands (intra pairs), and a cross-set doc pair collides
+    * iff its two representative sets collide (inter pairs).
     */
   def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
@@ -38,8 +46,14 @@ object Dedup {
     val sh = docs
       .select(col(idCol), TextOps.tokensLower(col(textCol)).as("tk"))
       .filter(size(col("tk")) >= k)
-      .select(col(idCol), TextOps.shinglesFast(col("tk"), k).as("shingles"))
-    nearDupCandidatesFromShingles(sh, idCol, "shingles", numHashes, bands)
+      .select(col(idCol),
+        array_distinct(TextOps.shinglesFast(col("tk"), k)).as("shset"))
+    val (docMap, repSets) = bySet(sh, idCol, "shset")
+    val setPairs = nearDupCandidatesFromShingles(
+        repSets.select(col(idCol), col("shset")), idCol, "shset",
+        numHashes, bands)
+      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"))
+    expandSetPairs(docMap, idCol, setPairs, Seq.empty)
   }
 
   /** Candidate generation from a precomputed shingle column — lets a
@@ -68,6 +82,115 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+  }
+
+  /** Collapses docs with IDENTICAL distinct-shingle sets to one
+    * representative per set — the t11 fingerprint-level-LSH insight
+    * applied to the MinHash pipeline. A dup-heavy corpus (the case
+    * near-dup detection exists for) concentrates its docs onto few
+    * distinct sets, so everything downstream of this groupBy — band
+    * self-join, candidate distinct, per-pair exact Jaccard — runs at
+    * distinct-set cardinality instead of doc cardinality. At the 100×
+    * scale point that is ~5k sets for 500k docs: the candidate-pair
+    * array shuffle drops from ~32M pairs × two ~45-long[] payloads
+    * (~23 GB) to a few thousand, and the only remaining doc-volume
+    * stages are the id-expansion hash joins whose output IS the answer.
+    * Worst case (every set unique) degenerates to the doc-level plan
+    * plus one 8-byte-per-shingle groupBy and two id joins — same shape.
+    *
+    * Group key: the sorted xxhash64 array of the set. Two DIFFERENT
+    * sets merge only if they collide element-for-element (~|set|
+    * independent 64-bit collisions) — far below the per-pair ~1e-16
+    * already accepted for the array-intersect Jaccard.
+    *
+    * Returns (docMap, repSets): docMap = (idCol, rep), one row per doc,
+    * cached (it feeds the intra self-join and both expansion joins);
+    * repSets = (idCol, hs, shingleCol), one row per distinct set. The
+    * doc→rep mapping is derived by joining the keyed scan back to the
+    * per-set min — NOT a collect_list per group, which a viral
+    * boilerplate doc (1e9 copies at 100 TB) would turn into a
+    * single-row OOM.
+    */
+  private def bySet(sh: DataFrame, idCol: String,
+      shingleCol: String): (DataFrame, DataFrame) = {
+    val keyed = Caches.cached(sh.select(col(idCol),
+      array_sort(transform(col(shingleCol), s => xxhash64(s))).as("hs"),
+      col(shingleCol)))
+    val reps = keyed.groupBy("hs").agg(min(col(idCol)).as("rep"))
+    val docMap = Caches.cached(keyed.select(col(idCol), col("hs"))
+      .join(reps.hint("shuffle_hash"), "hs")
+      .select(col(idCol), col("rep")))
+    val repSets = keyed
+      .join(reps.select(col("rep").as(idCol)).hint("shuffle_hash"), idCol)
+    (docMap, repSets)
+  }
+
+  /** Expands set-level pairs (rep_a, rep_b, payload...) back to doc
+    * pairs. Intra-set pairs (same distinct shingle set) get
+    * `intraPayload` — e.g. Jaccard 1.0 by construction; inter-set pairs
+    * inherit the set pair's payload. Each doc belongs to exactly one
+    * set and each unordered set pair appears once, so no doc pair is
+    * emitted twice — no doc-level distinct needed. The per-set
+    * quadratic blow-up in the intra self-join is output volume, not
+    * intermediate volume: every emitted row is an answer row.
+    */
+  private def expandSetPairs(docMap: DataFrame, idCol: String,
+      setPairs: DataFrame, intraPayload: Seq[Column]): DataFrame = {
+    val payload = setPairs.columns.toSeq
+      .filterNot(Set("rep_a", "rep_b")).map(col)
+    val intra = docMap.as("x").join(docMap.as("y").hint("shuffle_hash"),
+        "rep")
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("doc_a") +:
+        col(s"y.$idCol").as("doc_b") +: intraPayload: _*)
+    val inter = setPairs
+      .join(docMap.select(col(idCol).as("id_a"), col("rep").as("rep_a"))
+        .hint("shuffle_hash"), "rep_a")
+      .join(docMap.select(col(idCol).as("id_b"), col("rep").as("rep_b"))
+        .hint("shuffle_hash"), "rep_b")
+      .select(least(col("id_a"), col("id_b")).as("doc_a") +:
+        greatest(col("id_a"), col("id_b")).as("doc_b") +: payload: _*)
+    intra.unionAll(inter)
+  }
+
+  /** The full two-stage near-dup pipeline — banded-MinHash candidates
+    * scored with EXACT distinct-shingle-set Jaccard — at set level:
+    * candidates and the per-pair sorted-hash array intersect run once
+    * per distinct set (pair), and [[expandSetPairs]] recovers doc pairs
+    * (intra-set pairs are Jaccard 1.0 by definition). Output:
+    * (doc_a, doc_b, jaccard), doc_a < doc_b, unordered-unique.
+    *
+    * Both verify-side joins stay hinted shuffle_hash: set-pair volume
+    * is corpus-dependent and a static-planner size underestimate once
+    * chose to broadcast the doc-level intersection subtree and blew the
+    * driver heap (see git history at the doc-level predecessor).
+    */
+  def jaccardVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    graft.expr.GraftFunctions.register(docs.sparkSession)
+    val sh = docs
+      .select(col(idCol), TextOps.tokensLower(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col(idCol),
+        array_distinct(TextOps.shinglesFast(col("tk"), k)).as("shset"))
+      .filter(size(col("shset")) > 0)
+    val (docMap, repSets) = bySet(sh, idCol, "shset")
+    val setCand = nearDupCandidatesFromShingles(
+        repSets.select(col(idCol), col("shset")), idCol, "shset",
+        numHashes, bands)
+      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"))
+    val hashed = repSets.select(col(idCol), col("hs"),
+      size(col("hs")).as("n"))
+    val ninter = size(array_intersect(col("ha"), col("hb")))
+    val setJac = setCand
+      .join(hashed.select(col(idCol).as("rep_a"), col("hs").as("ha"),
+        col("n").as("na")).hint("shuffle_hash"), "rep_a")
+      .join(hashed.select(col(idCol).as("rep_b"), col("hs").as("hb"),
+        col("n").as("nb")).hint("shuffle_hash"), "rep_b")
+      .select(col("rep_a"), col("rep_b"),
+        round(ninter.cast("double") /
+          (col("na") + col("nb") - ninter), 6).as("jaccard"))
+    expandSetPairs(docMap, idCol, setJac, Seq(lit(1.0d).as("jaccard")))
   }
 
   /** SimHash near-duplicate pairs: 64-bit token-level SimHash → `bands`

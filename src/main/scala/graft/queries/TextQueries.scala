@@ -578,49 +578,16 @@ object TextQueries {
 
   /** Shared body of t8_jaccard_verify and its `doc_id % 50` slice twin:
     * banded-MinHash candidate pairs scored with EXACT shingle-set
-    * Jaccard. Tokenize/shingle ONCE (cached): the distinct set feeds
-    * both the MinHash candidate generation (min(md5) is
-    * multiset-invariant) and the exact Jaccard scoring.
-    *
-    * Intersection via per-pair ARRAY intersect of sorted 64-bit shingle
-    * hashes, not an exploded (pair, shingle) join. The exploded form
-    * materializes |pairs| x |shingles/doc| skinny rows — at sf10's 31.8M
-    * candidate pairs that is ~1.4 BILLION intermediate rows into a
-    * groupBy — while each pair here drags exactly two ~45-element long[]
-    * payloads (~23 GB total shuffle at sf10, one less shuffle stage, no
-    * billion-row aggregation): measured at sf3 43.4 -> 13.8 s cold with
-    * zero value differences over all 2.8M pairs. xxhash64 stands in for
-    * the shingle string in the intersection; a collision WITHIN one
-    * pair's two sets (the only way a count can change) has probability
-    * ~|A|·|B|/2^64 ≈ 1e-16 per pair, and the DuckDB gate hash-compares
-    * every value. Both joins are hinted shuffle_hash: candidate pairs
-    * grow ~quadratically with the duplication factor (sf1: 296k pairs,
-    * sf3: 2.8M, sf10: ~32M), and at sf10 the static planner's size
-    * underestimate once chose to BROADCAST the intersection subtree and
-    * blew the driver heap.
+    * Jaccard — delegated to [[Dedup.jaccardVerifiedPairs]], which runs
+    * the candidate banding AND the per-pair sorted-xxhash64 array
+    * intersect once per DISTINCT shingle set and expands to doc pairs
+    * afterwards (intra-set pairs are Jaccard 1.0 by definition). See
+    * that method and [[Dedup]]'s bySet for the scale analysis; the
+    * doc-level predecessor shuffled ~32M pairs × two ~45-long[] payloads
+    * (~23 GB) at sf10 where the set-level plan shuffles a few thousand.
     */
   private def jaccardVerify(s: org.apache.spark.sql.SparkSession,
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    graft.expr.GraftFunctions.register(s)
-    val sh = docs
-      .select(col("doc_id"),
-        array_distinct(TX.shinglesFast(TX.tokensLower(col("text")), 3))
-          .as("shset"))
-      .filter(size(col("shset")) > 0)
-      .transform(graft.ops.Caches.cached(_))
-    val cand = Dedup.nearDupCandidatesFromShingles(sh, "doc_id", "shset")
-    val hashed = sh.select(col("doc_id"),
-      array_sort(expr("transform(shset, s -> xxhash64(s))")).as("hs"),
-      size(col("shset")).as("n"))
-    val ninter = size(array_intersect(col("ha"), col("hb")))
-    cand
-      .join(hashed.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
-        col("n").as("na")).hint("shuffle_hash"), "doc_a")
-      .join(hashed.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
-        col("n").as("nb")).hint("shuffle_hash"), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        round(ninter.cast("double") /
-          (col("na") + col("nb") - ninter), 6).as("jaccard"))
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Dedup.jaccardVerifiedPairs(docs, "doc_id", "text")
       .orderBy("doc_a", "doc_b")
-  }
 }
