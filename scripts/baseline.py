@@ -34,8 +34,9 @@ def main():
     out_json = sys.argv[3] if len(sys.argv) > 3 else "BASELINE_local.json"
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p_ = f"{sf_dir}/{t}.parquet"
+        pat = f"{p_}/*.parquet" if os.path.isdir(p_) else p_
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     skip = {s for s in os.environ.get(
         "SPARK_GRAFT_SKIP_ORACLES", "").split(",") if s}

@@ -30,6 +30,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def table_src(sf_dir, t):
+    """FROM target: single parquet file, or a directory of part files
+    (datagen writes split tables as directories for parallel scans)."""
+    p = f"{sf_dir}/{t}.parquet"
+    return f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+
+
 def canon(con, rel):
     """DataFrame with columns sorted by name and rows in a canonical
     total order (ORDER BY every column, name-sorted). Each query's own
@@ -71,7 +78,7 @@ def run_one(sf_dir, out_dir, name, sql):
         con.execute("SET temp_directory='scratch/duck_tmp'")
         for t in TABLES:
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+                f"CREATE VIEW {t} AS SELECT * FROM {table_src(sf_dir, t)}")
         try:
             want = canon(con, con.sql(sql))
         except Exception as e:

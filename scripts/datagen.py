@@ -30,6 +30,12 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+def rd(base):
+    """DuckDB FROM target for a table that may be a single parquet file
+    or a directory of part files (split tables, see copy below)."""
+    return f"'{base}/*.parquet'" if os.path.isdir(base) else f"'{base}'"
+
+
 def main():
     src, out, mult = sys.argv[1], sys.argv[2], int(sys.argv[3])
     os.makedirs(out, exist_ok=True)
@@ -37,7 +43,7 @@ def main():
 
     def nxt(table, col):
         v = con.sql(
-            f"SELECT max({col}) + 1 FROM '{src}/{table}.parquet'").fetchone()[0]
+            f"SELECT max({col}) + 1 FROM {rd(f'{src}/{table}.parquet')}").fetchone()[0]
         assert v is not None, \
             f"{table}.parquet is empty (max({col}) is NULL) — cannot scale it"
         return v
@@ -65,11 +71,30 @@ def main():
 
     rep = f"CROSS JOIN (SELECT unnest(range({mult})) AS i) r"
 
-    def copy(name, select):
-        con.execute(
-            f"COPY ({select}) TO '{out}/{name}.parquet' (FORMAT PARQUET)")
+    def copy(name, select, split_key=None):
+        # split_key writes a DIRECTORY of id-sharded part files instead
+        # of one file. Spark assigns scan tasks by file byte ranges, so a
+        # highly compressible table (replicated documents text compresses
+        # ~100x) that lands under files.maxPartitionBytes as ONE file
+        # scans on ONE core no matter the scale point — sf10's 500k-doc
+        # corpus was an 8.8 MB single file, serializing every text
+        # query's tokenize leaf. A real 100 TB corpus is many files;
+        # the sharded layout reproduces that. Deterministic (id modulo,
+        # not thread scheduling); readers handle both shapes (rd() here,
+        # check.py/baseline.py views, Spark natively).
+        tgt = f"{out}/{name}.parquet"
+        if split_key is None:
+            con.execute(f"COPY ({select}) TO '{tgt}' (FORMAT PARQUET)")
+        else:
+            nfiles = min(32, max(8, mult))
+            os.makedirs(tgt, exist_ok=True)
+            for j in range(nfiles):
+                con.execute(
+                    f"COPY (SELECT * FROM ({select}) q "
+                    f"WHERE {split_key} % {nfiles} = {j}) "
+                    f"TO '{tgt}/part_{j:02d}.parquet' (FORMAT PARQUET)")
         n = con.sql(
-            f"SELECT count(*) FROM '{out}/{name}.parquet'").fetchone()[0]
+            f"SELECT count(*) FROM {rd(tgt)}").fetchone()[0]
         print(f"{name}: {n} rows")
 
     copy("region", f"SELECT * FROM '{src}/region.parquet'")
@@ -119,18 +144,20 @@ def main():
     print(f"events: {evt.num_rows} rows (ts type: {src_ts_type})")
     copy("documents", f"""
         SELECT doc_id + r.i * {n_doc} AS doc_id, text, lang, source, n_chars
-        FROM '{src}/documents.parquet' {rep}""")
+        FROM {rd(f'{src}/documents.parquet')} {rep}""", split_key="doc_id")
     copy("embeddings", f"""
         SELECT vec_id + r.i * {n_vec} AS vec_id, embedding, label
-        FROM '{src}/embeddings.parquet' {rep}""")
+        FROM {rd(f'{src}/embeddings.parquet')} {rep}""", split_key="vec_id")
 
     # schema parity check: same column names/types as the source, and
     # events.ts stayed TIMESTAMP_NS (a silent downgrade to micros would
     # break the Spark side's nanosAsLong read)
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        a = con.sql(f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()
-        b = con.sql(f"DESCRIBE SELECT * FROM '{out}/{t}.parquet'").fetchall()
+        a = con.sql(
+            f"DESCRIBE SELECT * FROM {rd(f'{src}/{t}.parquet')}").fetchall()
+        b = con.sql(
+            f"DESCRIBE SELECT * FROM {rd(f'{out}/{t}.parquet')}").fetchall()
         # normalize TIMESTAMP_NS to TIMESTAMP: DuckDB DESCRIBE reads the
         # source's TIMESTAMP(NANOS) as TIMESTAMP, ours as TIMESTAMP_NS;
         # the strict nanos assertion below covers the real requirement

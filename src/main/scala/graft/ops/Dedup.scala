@@ -32,28 +32,37 @@ object Dedup {
     * fewer than k tokens produce no shingles and are excluded, mirroring
     * the guarded `TextOps.shingles`.
     *
-    * Runs at SET level (see [[bySet]]): the banding is computed once per
-    * DISTINCT shingle set, and doc pairs are recovered by expansion.
-    * Valid because the MinHash signature — and hence every band key — is
-    * a function of the distinct shingle set alone (min over a multiset
-    * equals min over its support), so two docs with the same set always
-    * share all bands (intra pairs), and a cross-set doc pair collides
-    * iff its two representative sets collide (inter pairs).
+    * Runs at SIGNATURE level (the t11 fingerprint-level insight): the
+    * banding output for a doc is a pure function of its MinHash
+    * signature, so docs are grouped by the 8-long signature itself and
+    * the band self-join runs once per DISTINCT signature. Same-signature
+    * docs agree on every band (intra pairs, always emitted — exactly
+    * what the doc-level join produced for them), and a cross-signature
+    * doc pair collides iff its two representative signatures collide
+    * (inter pairs, recovered by [[expandSetPairs]]). A dup-heavy corpus
+    * concentrates docs onto few distinct signatures, so the join and
+    * its distinct run at distinct-signature cardinality; the worst case
+    * (every signature unique) degenerates to the doc-level plan plus
+    * one fixed-width groupBy and two id joins.
     */
   def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     graft.expr.GraftFunctions.register(docs.sparkSession)
-    val sh = docs
+    // one scan pass: tokens → shingles → signature; nothing wider than
+    // (id, 8 longs) survives past the scan
+    val keyed = Caches.cached(docs
       .select(col(idCol), TextOps.tokensLower(col(textCol)).as("tk"))
       .filter(size(col("tk")) >= k)
-      .select(col(idCol),
-        array_distinct(TextOps.shinglesFast(col("tk"), k)).as("shset"))
-    val (docMap, repSets) = bySet(sh, idCol, "shset")
-    val setPairs = nearDupCandidatesFromShingles(
-        repSets.select(col(idCol), col("shset")), idCol, "shset",
-        numHashes, bands)
-      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"))
-    expandSetPairs(docMap, idCol, setPairs, Seq.empty)
+      .select(col(idCol), TextOps.minhashSignatureFast(
+        TextOps.shinglesFast(col("tk"), k), numHashes).as("sg")))
+    val (docMap, reps) = groupReps(keyed, idCol, "sg", Seq.empty)
+    val setPairs = bandPairs(
+      reps.select(col("rep").as(idCol), col("sg")), idCol, "sg",
+      bands, numHashes / bands)
+    expandSetPairs(docMap, idCol, setPairs
+      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b")),
+      Seq.empty)
   }
 
   /** Candidate generation from a precomputed shingle column — lets a
@@ -65,11 +74,19 @@ object Dedup {
       shingleCol: String, numHashes: Int = 8, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.expr.GraftFunctions.register(sh.sparkSession)
-    val rowsPerBand = numHashes / bands
     val sig = sh.select(col(idCol),
       TextOps.minhashSignatureFast(col(shingleCol), numHashes).as("sg"))
+    bandPairs(sig, idCol, "sg", bands, numHashes / bands)
+  }
+
+  /** The banded-LSH self-join on precomputed signatures: explode each
+    * signature into its band keys, bucket-join on (band, key), keep
+    * each unordered id pair once. Output: (doc_a, doc_b), doc_a < doc_b.
+    */
+  private def bandPairs(sig: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
     val bandRows = sig.select(col(idCol),
-      posexplode(TextOps.bandKeys(col("sg"), bands, rowsPerBand))
+      posexplode(TextOps.bandKeys(col(sigCol), bands, rowsPerBand))
         .as(Seq("b", "bk")))
     val a = bandRows.select(col(idCol).as("doc_a"), col("b"), col("bk"))
     val b = bandRows.select(col(idCol).as("doc_b"), col("b"), col("bk"))
@@ -84,45 +101,46 @@ object Dedup {
       .distinct()
   }
 
-  /** Collapses docs with IDENTICAL distinct-shingle sets to one
-    * representative per set — the t11 fingerprint-level-LSH insight
+  /** Collapses docs with an identical `keyCol` value to one
+    * representative per value — the t11 fingerprint-level-LSH insight
     * applied to the MinHash pipeline. A dup-heavy corpus (the case
     * near-dup detection exists for) concentrates its docs onto few
-    * distinct sets, so everything downstream of this groupBy — band
+    * distinct keys (signatures for candidates, exact shingle-hash sets
+    * for Jaccard), so everything downstream of this groupBy — band
     * self-join, candidate distinct, per-pair exact Jaccard — runs at
-    * distinct-set cardinality instead of doc cardinality. At the 100×
+    * distinct-key cardinality instead of doc cardinality. At the 100×
     * scale point that is ~5k sets for 500k docs: the candidate-pair
     * array shuffle drops from ~32M pairs × two ~45-long[] payloads
     * (~23 GB) to a few thousand, and the only remaining doc-volume
     * stages are the id-expansion hash joins whose output IS the answer.
-    * Worst case (every set unique) degenerates to the doc-level plan
-    * plus one 8-byte-per-shingle groupBy and two id joins — same shape.
+    * Worst case (every key unique) degenerates to the doc-level plan
+    * plus one fixed-width groupBy and two id joins — same shape.
     *
-    * Group key: the sorted xxhash64 array of the set. Two DIFFERENT
-    * sets merge only if they collide element-for-element (~|set|
-    * independent 64-bit collisions) — far below the per-pair ~1e-16
-    * already accepted for the array-intersect Jaccard.
+    * `carry` columns ride through the groupBy via first(col) — only
+    * pass columns that are pure functions of `keyCol` (constant within
+    * a group), which keeps first() deterministic.
     *
-    * Returns (docMap, repSets): docMap = (idCol, rep), one row per doc,
-    * cached (it feeds the intra self-join and both expansion joins);
-    * repSets = (idCol, hs, shingleCol), one row per distinct set. The
-    * doc→rep mapping is derived by joining the keyed scan back to the
-    * per-set min — NOT a collect_list per group, which a viral
-    * boilerplate doc (1e9 copies at 100 TB) would turn into a
-    * single-row OOM.
+    * Returns (docMap, reps): docMap = (idCol, rep), one row per doc;
+    * reps = (keyCol, rep, carry...), one row per distinct key. Both
+    * cached — docMap feeds the intra self-join and both expansion
+    * joins, reps feeds the banding and (for Jaccard) both verify
+    * joins. The doc→rep mapping is derived by joining the keyed scan
+    * back to the per-key min — NOT a collect_list per group, which a
+    * viral boilerplate doc (1e9 copies at 100 TB) would turn into a
+    * single-row OOM. The join is left unhinted: under AQE its runtime
+    * size decides broadcast vs shuffle — reps is broadcast-small
+    * exactly when the corpus is dup-heavy, and corpus-sized (shuffle)
+    * in the degenerate all-unique case.
     */
-  private def bySet(sh: DataFrame, idCol: String,
-      shingleCol: String): (DataFrame, DataFrame) = {
-    val keyed = Caches.cached(sh.select(col(idCol),
-      array_sort(transform(col(shingleCol), s => xxhash64(s))).as("hs"),
-      col(shingleCol)))
-    val reps = keyed.groupBy("hs").agg(min(col(idCol)).as("rep"))
-    val docMap = Caches.cached(keyed.select(col(idCol), col("hs"))
-      .join(reps.hint("shuffle_hash"), "hs")
+  private def groupReps(keyed: DataFrame, idCol: String, keyCol: String,
+      carry: Seq[String]): (DataFrame, DataFrame) = {
+    val reps = Caches.cached(keyed.groupBy(keyCol)
+      .agg(min(col(idCol)).as("rep"),
+        carry.map(c => first(col(c)).as(c)): _*))
+    val docMap = Caches.cached(keyed.select(col(idCol), col(keyCol))
+      .join(reps.select(keyCol, "rep"), keyCol)
       .select(col(idCol), col("rep")))
-    val repSets = keyed
-      .join(reps.select(col("rep").as(idCol)).hint("shuffle_hash"), idCol)
-    (docMap, repSets)
+    (docMap, reps)
   }
 
   /** Expands set-level pairs (rep_a, rep_b, payload...) back to doc
@@ -138,16 +156,19 @@ object Dedup {
       setPairs: DataFrame, intraPayload: Seq[Column]): DataFrame = {
     val payload = setPairs.columns.toSeq
       .filterNot(Set("rep_a", "rep_b")).map(col)
-    val intra = docMap.as("x").join(docMap.as("y").hint("shuffle_hash"),
-        "rep")
+    // All three joins unhinted: docMap is two longs per doc and cached,
+    // so AQE's runtime stats broadcast it at local scales and shuffle it
+    // when it is genuinely corpus-sized; the emitted rows are answer
+    // rows either way.
+    val intra = docMap.as("x").join(docMap.as("y"), "rep")
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("doc_a") +:
         col(s"y.$idCol").as("doc_b") +: intraPayload: _*)
     val inter = setPairs
-      .join(docMap.select(col(idCol).as("id_a"), col("rep").as("rep_a"))
-        .hint("shuffle_hash"), "rep_a")
-      .join(docMap.select(col(idCol).as("id_b"), col("rep").as("rep_b"))
-        .hint("shuffle_hash"), "rep_b")
+      .join(docMap.select(col(idCol).as("id_a"), col("rep").as("rep_a")),
+        "rep_a")
+      .join(docMap.select(col(idCol).as("id_b"), col("rep").as("rep_b")),
+        "rep_b")
       .select(least(col("id_a"), col("id_b")).as("doc_a") +:
         greatest(col("id_a"), col("id_b")).as("doc_b") +: payload: _*)
     intra.unionAll(inter)
@@ -167,26 +188,48 @@ object Dedup {
     */
   def jaccardVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     graft.expr.GraftFunctions.register(docs.sparkSession)
-    val sh = docs
+    // one scan pass computes BOTH per-doc set derivatives — the sorted
+    // hash array `hs` (the exact group key, and later the Jaccard
+    // intersect operand) and the MinHash signature `sg` — so no string
+    // shingle survives past the scan: everything shuffled or cached
+    // downstream is fixed-width longs. Group key hs, not sg: two docs
+    // may share a signature with different sets, and intra-group pairs
+    // are emitted as Jaccard 1.0 without an intersect. Two DIFFERENT
+    // sets merge only if they collide element-for-element (~|set|
+    // independent 64-bit collisions) — far below the per-pair ~1e-16
+    // already accepted for the array-intersect Jaccard below. sg rides
+    // the groupBy via first(): it is a function of the set (min over a
+    // multiset equals min over its support), constant within a group.
+    val keyed = Caches.cached(docs
       .select(col(idCol), TextOps.tokensLower(col(textCol)).as("tk"))
       .filter(size(col("tk")) >= k)
       .select(col(idCol),
         array_distinct(TextOps.shinglesFast(col("tk"), k)).as("shset"))
       .filter(size(col("shset")) > 0)
-    val (docMap, repSets) = bySet(sh, idCol, "shset")
-    val setCand = nearDupCandidatesFromShingles(
-        repSets.select(col(idCol), col("shset")), idCol, "shset",
-        numHashes, bands)
+      .select(col(idCol),
+        array_sort(transform(col("shset"), s => xxhash64(s))).as("hs"),
+        TextOps.minhashSignatureFast(col("shset"), numHashes).as("sg")))
+    val (docMap, reps) = groupReps(keyed, idCol, "hs", Seq("sg"))
+    val setCand = bandPairs(
+        reps.select(col("rep").as(idCol), col("sg")), idCol, "sg",
+        bands, numHashes / bands)
       .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"))
-    val hashed = repSets.select(col(idCol), col("hs"),
+    val hashed = reps.select(col("rep"), col("hs"),
       size(col("hs")).as("n"))
     val ninter = size(array_intersect(col("ha"), col("hb")))
+    // verify joins unhinted: the build side is distinct-set rows (AQE
+    // broadcasts it when the corpus is dup-heavy, shuffles when not);
+    // the doc-level predecessor pinned shuffle_hash here because its
+    // build side was 32M candidate pairs × array payloads that a static
+    // size underestimate once chose to broadcast — that subtree no
+    // longer exists.
     val setJac = setCand
-      .join(hashed.select(col(idCol).as("rep_a"), col("hs").as("ha"),
-        col("n").as("na")).hint("shuffle_hash"), "rep_a")
-      .join(hashed.select(col(idCol).as("rep_b"), col("hs").as("hb"),
-        col("n").as("nb")).hint("shuffle_hash"), "rep_b")
+      .join(hashed.select(col("rep").as("rep_a"), col("hs").as("ha"),
+        col("n").as("na")), "rep_a")
+      .join(hashed.select(col("rep").as("rep_b"), col("hs").as("hb"),
+        col("n").as("nb")), "rep_b")
       .select(col("rep_a"), col("rep_b"),
         round(ninter.cast("double") /
           (col("na") + col("nb") - ninter), 6).as("jaccard"))
