@@ -142,6 +142,71 @@ class DedupSpec extends SparkSpec {
       s"$pairs candidate pairs vs ${n * (n - 1) / 2} possible — banding broken?")
   }
 
+  // Shared dup-heavy fixture for the set/signature-level equivalence
+  // pins: 4 exact-dup clusters of 5 (intra pairs), near-dup variants of
+  // two clusters (inter pairs), and unique noise (degenerate case).
+  private def dupHeavyCorpus = {
+    val bases = Seq(
+      "the quick brown fox jumps over the lazy dog near the old fence",
+      "pack my box with five dozen liquor jugs before the night train",
+      "sphinx of black quartz judge my vow said the tired museum guard",
+      "how vexingly quick daft zebras jump when the keeper rattles feed")
+    val clusters = bases.zipWithIndex.flatMap { case (t, c) =>
+      (0 until 5).map(j => (c * 100L + j, t)) }
+    val nearDups = Seq((500L, bases(0) + " yesterday"),
+      (501L, bases(1) + " tonight"))
+    val noise = (0 until 20).map(i =>
+      (600L + i, s"completely unrelated filler document $i holding t$i u$i v$i"))
+    (clusters ++ nearDups ++ noise).toDF("doc_id", "text")
+  }
+
+  test("signature-level candidates equal doc-level banding") {
+    val docs = dupHeavyCorpus
+    val setLevel = Dedup.nearDupCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    // the doc-level reference path: per-doc shingles straight into the
+    // band self-join (nearDupCandidatesFromShingles)
+    val sh = docs
+      .select(col("doc_id"), TextOps.tokensLower(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), TextOps.shinglesFast(col("tk"), 3).as("shingles"))
+    val docLevel = Dedup.nearDupCandidatesFromShingles(sh, "doc_id", "shingles")
+      .as[(Long, Long)].collect().toSet
+    assert(setLevel == docLevel,
+      s"missing=${docLevel -- setLevel} extra=${setLevel -- docLevel}")
+    assert(setLevel.exists { case (a, b) => a / 100 == b / 100 && a < 100 * 4 },
+      "fixture lost its intra-cluster pairs")
+  }
+
+  test("jaccardVerifiedPairs equals per-pair exact Jaccard over doc-level candidates") {
+    val docs = dupHeavyCorpus
+    val got = Dedup.jaccardVerifiedPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // reference: doc-level candidates + Scala-side exact shingle-set
+    // Jaccard (corpus is small enough to collect)
+    val sets = docs.select(col("doc_id"),
+        array_distinct(TextOps.shinglesFast(TextOps.tokensLower(col("text")), 3))
+          .as("shset"))
+      .filter(size(col("shset")) > 0)
+      .as[(Long, Seq[String])].collect().toMap
+    val sh = docs
+      .select(col("doc_id"), TextOps.tokensLower(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), TextOps.shinglesFast(col("tk"), 3).as("shingles"))
+    val cand = Dedup.nearDupCandidatesFromShingles(sh, "doc_id", "shingles")
+      .as[(Long, Long)].collect()
+    assert(got.keySet == cand.toSet,
+      s"pair sets differ: missing=${cand.toSet -- got.keySet} extra=${got.keySet -- cand.toSet}")
+    cand.foreach { case (a, b) =>
+      val (sa, sb) = (sets(a).toSet, sets(b).toSet)
+      val want = BigDecimal(sa.intersect(sb).size.toDouble / sa.union(sb).size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got((a, b)) - want) < 1e-9,
+        s"pair ($a,$b): got ${got((a, b))} want $want")
+    }
+  }
+
   test("simhashNearDup banded join equals brute-force Hamming<=3 (sf0.001)") {
     import org.apache.spark.sql.functions._
     // pigeonhole exactness: the 4x16-bit banded join must find EXACTLY the
