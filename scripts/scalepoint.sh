@@ -11,7 +11,10 @@
 # DuckDB-quadratic (hours each) and t7/t11's SQL formulations exceed
 # DuckDB's 70 GB in-memory limit at that scale; from sf30 the t6/t8/t10
 # full oracles (193 s / ~800 s / 142 s at sf10, superlinear) join the
-# list. The deterministic-slice twins (t6_slice/t7_slice/t8_slice/
+# list. (The round-14 set-level t6/t8 rewrite removed the Spark-side
+# sf30 blocker — the candidate×shingle-array shuffle that outgrew this
+# box's disk is gone, so SPARK_GRAFT_SKIP_QUERIES is no longer needed
+# for them; only their DuckDB oracles stay skipped at 300x.) The deterministic-slice twins (t6_slice/t7_slice/t8_slice/
 # t10_slice/t11_slice/em1_slice/em2_slice — same pipeline on a
 # replica-preserving keyed slice) are NOT skipped: they hash-match
 # DuckDB directly at 100x+, so every skipped full-corpus oracle is
