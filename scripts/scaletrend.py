@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Cross-scale trend table (dev tooling only — not part of the shipped
+library). Reads the committed BENCH_<tag>.json records and prints, per
+query, the Spark wall seconds at each scale point plus the fitted
+scaling exponent alpha where time ~ data^alpha over the largest scale
+step (log-log slope between the two biggest points measured).
+
+alpha ~ 1.0  => linear scaling (the 100 TB story holds)
+alpha < 1.0  => sublinear (fixed floors still amortizing)
+alpha > 1.3  => superlinear — flag for a plan audit
+
+Usage: python3 scripts/scaletrend.py [tag:mult ...]
+Defaults: sf1:10 sf3:30 sf10:100 (+ sf30:300 when BENCH_sf30.json exists)
+"""
+import json
+import math
+import os
+import sys
+
+
+def main():
+    pairs = [a.split(":") for a in sys.argv[1:]] or [
+        ["sf1", "10"], ["sf3", "30"], ["sf10", "100"], ["sf30", "300"]]
+    points = []
+    for tag, mult in pairs:
+        path = f"BENCH_{tag}.json"
+        if not os.path.exists(path):
+            continue
+        d = json.load(open(path))
+        points.append((tag, float(mult), d["queries"], d["value"]))
+    if len(points) < 2:
+        sys.exit("need at least two BENCH_<tag>.json records")
+
+    names = sorted(set().union(*(set(p[2]) for p in points)))
+    tags = [p[0] for p in points]
+    header = ["query"] + [f"{t} (s)" for t in tags] + ["alpha (last step)"]
+    rows = []
+    for n in names:
+        secs = [p[2].get(n) for p in points]
+        # exponent over the last step where both endpoints exist
+        alpha = ""
+        have = [(m, s) for (_, m, _, _), s in zip(points, secs) if s]
+        if len(have) >= 2:
+            (m0, s0), (m1, s1) = have[-2], have[-1]
+            alpha = f"{math.log(s1 / s0) / math.log(m1 / m0):.2f}"
+        rows.append([n] + [f"{s:.2f}" if s else "—" for s in secs] + [alpha])
+    totals = (["TOTAL"] + [f"{p[3]:.1f}" for p in points] +
+              [f"{math.log(points[-1][3] / points[-2][3]) / math.log(points[-1][1] / points[-2][1]):.2f}"])
+
+    widths = [max(len(r[i]) for r in [header, totals] + rows)
+              for i in range(len(header))]
+    def fmt(r):
+        return "| " + " | ".join(c.ljust(w) for c, w in zip(r, widths)) + " |"
+    print(fmt(header))
+    print("|" + "|".join("-" * (w + 2) for w in widths) + "|")
+    for r in rows:
+        print(fmt(r))
+    print(fmt(totals))
+
+    # flag superlinear real-work queries (>=1s at the largest point)
+    flagged = [r for r in rows
+               if r[-1] and float(r[-1]) > 1.3 and r[-2] != "—"
+               and float(r[-2].replace("—", "0")) >= 1.0]
+    if flagged:
+        print("\nsuperlinear (alpha>1.3, >=1s at largest point):")
+        for r in flagged:
+            print(f"  {r[0]}  alpha={r[-1]}  {r[-2]}s")
+
+
+if __name__ == "__main__":
+    main()
