@@ -21,8 +21,13 @@
 # covered by a slice row at scale plus full rows at sf1/sf3:
 #   SPARK_GRAFT_SKIP_ORACLES=em1_blocked_closest_pair,em2_cosine_near_dup,t11_simhash_near_dup,t7_simhash \
 #   SPARK_GRAFT_SINGLE_RUN_SEC=60 scripts/scalepoint.sh scratch/sf10 100 sf10
-#   SPARK_GRAFT_SKIP_ORACLES=em1_blocked_closest_pair,em2_cosine_near_dup,t11_simhash_near_dup,t7_simhash,t6_near_dup_candidates,t8_jaccard_verify,t10_winnow_fp \
+#   SPARK_GRAFT_SKIP_ORACLES=em1_blocked_closest_pair,em2_cosine_near_dup,t11_simhash_near_dup,t7_simhash,t6_near_dup_candidates,t8_jaccard_verify,t10_winnow_fp,s3_binary_meta \
 #   SPARK_GRAFT_SINGLE_RUN_SEC=60 scripts/scalepoint.sh scratch/sf30 300 sf30
+# (s3_binary_meta joins the list at sf30: its ORACLE must hex() the whole
+# 4.1 GB lineitem blob — an 8.2 GB string, past DuckDB's 4 GiB cap, and
+# DuckDB 1.0 cannot slice a BLOB before hexing. The Spark side runs fine —
+# Sources.binaryPrefixScan reads 1 MiB per file — and stays checked at
+# 300x by the s3_slice_binary_meta twin over the [cnpr]* dimension files.)
 #
 # Stage ORDER is artifact-first: the Spark bench (the round's contract
 # artifact, ~minutes) runs BEFORE both DuckDB stages — the oracle

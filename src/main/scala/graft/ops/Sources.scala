@@ -18,6 +18,40 @@ object Sources {
     glob.fold(r)(g => r.option("pathGlobFilter", g)).load(dir)
   }
 
+  /** Directory scan yielding (path, length, prefix): the first `maxBytes`
+    * of each file, read with a bounded positional read. The binaryFile
+    * source would materialize the WHOLE file as one byte array — capped at
+    * the JVM's 2 GB array limit and O(file size) memory — so any corpus
+    * with a single >2 GB object (sf30's 4.1 GB lineitem.parquet; routine
+    * at 100 TB) kills the scan even when the query only fingerprints a
+    * prefix. Here the distributed listing (content pruned) drives a
+    * per-file bounded read, so cost is O(maxBytes) per file regardless of
+    * file size. Reference behavior: act_img.py's header/EXIF sniffing
+    * reads only the file head, never the full image.
+    */
+  def binaryPrefixScan(spark: SparkSession, dir: String,
+      glob: Option[String] = None, maxBytes: Int = 1048576): DataFrame = {
+    import spark.implicits._
+    val listed = binaryScan(spark, dir, glob)
+      .select("path", "length").as[(String, Long)]
+    listed.mapPartitions { it =>
+      // Fresh Hadoop conf per task: the driver's conf is not serializable;
+      // default-resource resolution covers file:// and cluster defaults.
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.map { case (path, len) =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(conf)
+        val n = math.min(len, maxBytes.toLong).toInt
+        val buf = new Array[Byte](n)
+        if (n > 0) {
+          val in = fs.open(p)
+          try in.readFully(0L, buf) finally in.close()
+        }
+        (path, len, buf)
+      }
+    }.toDF("path", "length", "prefix")
+  }
+
   /** Parse KRL-style `LIN {X ..., Y ..., ...}` lines: extract all numbers,
     * take the first 6 as doubles (pose_filter.py:3141-3143).
     * Input df must have a string column `lineCol`; appends x,y,z,a,b,c.

@@ -39,30 +39,52 @@ object CoreQueries {
         .orderBy("file")
     },
 
-    // S3 (plumbing): expression-only binary metadata over a binaryFile
-    // scan — length, magic bytes, content fingerprint — the content
-    // column flows through codegen'd expressions only (the decode itself
-    // is the documented stub, Multimodal/Codecs). DuckDB 1.0 has no
-    // md5(BLOB), so both engines checksum the hex encoding. The digest is
-    // BOUNDED to the first 1 MiB (rsync-style prefix fingerprint + exact
-    // length): hex() doubles the payload, so an unbounded digest of a
-    // multi-GB file would overflow the JVM's 2 GB array cap — Spark
-    // substrings the *binary* first and hexes only the bounded prefix, so
-    // the post-projection sort moves ~100-byte rows instead of whole
-    // blobs. DuckDB can't slice BLOBs, so the oracle bounds the same
-    // digest as substring(hex(content), 1, 2N) — hex-of-prefix ==
-    // prefix-of-hex, only the oracle pays for the full hex.
+    // S3 (plumbing): expression-only binary metadata over a bounded
+    // prefix scan — length, magic bytes, content fingerprint — (the
+    // decode itself is the documented stub, Multimodal/Codecs). DuckDB
+    // 1.0 has no md5(BLOB), so both engines checksum the hex encoding.
+    // The digest is BOUNDED to the first 1 MiB (rsync-style prefix
+    // fingerprint + exact length). Spark reads ONLY that prefix per file
+    // (Sources.binaryPrefixScan): the binaryFile source's whole-file
+    // content column dies on any file over the JVM's 2 GB array cap
+    // (sf30's 4.1 GB lineitem.parquet) and costs O(file) memory where
+    // the query needs O(1 MiB); the post-projection sort moves ~100-byte
+    // rows either way. DuckDB can't slice BLOBs, so the oracle bounds
+    // the same digest as substring(hex(content), 1, 2N) — hex-of-prefix
+    // == prefix-of-hex, only the oracle pays for the full read + hex.
     QueryDef("s3_binary_meta",
       """SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
         |  size AS length,
         |  substring(hex(content), 1, 8) AS magic_hex,
         |  md5(substring(hex(content), 1, 2097152)) AS content_md5
         |FROM read_blob('{SF_DIR}/*.parquet') ORDER BY file""") { (s, d) =>
-      Sources.binaryScan(s, d)
+      Sources.binaryPrefixScan(s, d)
         .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
           col("length"),
-          hex(substring(col("content"), 1, 4)).as("magic_hex"),
-          md5(hex(substring(col("content"), 1, 1048576))).as("content_md5"))
+          hex(substring(col("prefix"), 1, 4)).as("magic_hex"),
+          md5(hex(col("prefix"))).as("content_md5"))
+        .orderBy("file")
+    },
+
+    // S3 slice twin: the same bounded prefix fingerprint restricted (by
+    // glob, in BOTH engines) to the dimension-class single-file tables —
+    // ≤ tens of MB at any committed scale point. The FULL s3 oracle dies
+    // at sf30+ on DuckDB's side only: it must hex() the whole 4.1 GB
+    // lineitem blob (8.2 GB string > DuckDB's 4 GiB cap) because DuckDB
+    // 1.0 cannot slice a BLOB before hexing; Spark's prefix scan reads
+    // 1 MiB per file regardless. Pattern as t7/t11: full oracle at
+    // sf0.01-sf10, slice row keeps the operator DuckDB-checked at 300x+.
+    QueryDef("s3_slice_binary_meta",
+      """SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+        |  size AS length,
+        |  substring(hex(content), 1, 8) AS magic_hex,
+        |  md5(substring(hex(content), 1, 2097152)) AS content_md5
+        |FROM read_blob('{SF_DIR}/[cnpr]*.parquet') ORDER BY file""") { (s, d) =>
+      Sources.binaryPrefixScan(s, d, Some("[cnpr]*.parquet"))
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+          col("length"),
+          hex(substring(col("prefix"), 1, 4)).as("magic_hex"),
+          md5(hex(col("prefix"))).as("content_md5"))
         .orderBy("file")
     },
 

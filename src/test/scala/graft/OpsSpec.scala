@@ -586,3 +586,49 @@ class SideEffectSinkSpec extends SparkSpec {
     assert(written == Map("a.jpg" -> 2L, "b.jpg" -> 1L), s"got $written")
   }
 }
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binaryPrefixScan == binaryFile content prefix, bounded per file (S3)") {
+    val dir = sf("sf0.001")
+    // truth from the whole-file reader (fixture files are all small)
+    val whole = graft.ops.Sources.binaryScan(spark, dir)
+      .select(col("path"), col("length"), col("content"))
+      .as[(String, Long, Array[Byte])].collect()
+      .map { case (p, l, c) => p -> ((l, c)) }.toMap
+    // maxBytes smaller than every fixture file => every prefix truncates,
+    // exercising the bounded positional read (not the n == length case)
+    val max = 64
+    val pre = graft.ops.Sources.binaryPrefixScan(spark, dir, None, max)
+      .as[(String, Long, Array[Byte])].collect()
+    assert(pre.length == whole.size && pre.nonEmpty)
+    pre.foreach { case (p, l, buf) =>
+      val (wl, wc) = whole(p)
+      assert(l == wl, s"$p length $l want $wl")
+      assert(buf.length == math.min(wl, max.toLong).toInt, s"$p prefix len")
+      assert(java.util.Arrays.equals(buf, wc.take(buf.length)),
+        s"$p prefix bytes differ from whole-file read")
+    }
+  }
+
+  test("binaryPrefixScan respects the glob and matches binaryScan's listing") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-psc")
+    java.nio.file.Files.write(tmp.resolve("empty.bin"), Array[Byte]())
+    java.nio.file.Files.write(tmp.resolve("tiny.bin"), Array[Byte](7, 8))
+    java.nio.file.Files.write(tmp.resolve("skip.dat"), Array[Byte](9))
+    val got = graft.ops.Sources
+      .binaryPrefixScan(spark, tmp.toString, Some("*.bin"), 1024)
+      .as[(String, Long, Array[Byte])].collect()
+      .map { case (p, l, b) => p.split('/').last -> ((l, b.toSeq)) }.toMap
+    // zero-byte files are dropped by the binaryFile LISTING itself (Spark
+    // skips empty files at scan planning) — the prefix scan inherits
+    // binaryScan's file set exactly, plus the glob filter
+    val listed = graft.ops.Sources
+      .binaryScan(spark, tmp.toString, Some("*.bin"))
+      .select("path").as[String].collect().map(_.split('/').last).toSet
+    assert(got.keySet == listed, s"got ${got.keySet} listing $listed")
+    assert(got.keySet == Set("tiny.bin"), s"got ${got.keySet}")
+    assert(got("tiny.bin") == ((2L, Seq[Byte](7, 8))))
+  }
+}
