@@ -12,12 +12,18 @@ an O(n^2) single-node oracle (em1/em2) would take hours in DuckDB while
 the Spark side stays sub-second; correctness for those is pinned at the
 smaller scale points instead.
 
-Memory: at mult>=100 scale points single results reach 30-50M rows. One
-long-lived connection plus whole-frame astype(str) compares exhausted
-128 GB at sf10 (every query after the high-water mark failed with malloc
-errors), so each query now gets a fresh connection (drops DuckDB's
-buffer pool), the value compare runs column-at-a-time, and frames are
-freed eagerly.
+Memory/speed: at mult>=100 scale points single results reach 30-180M
+rows. The original compare (ORDER BY every column on both sides, fetch
+into pandas, per-column astype(str) equality) cost two O(n log n) sorts
+plus ~an hour of python string conversion per 180M-row query, and one
+long-lived connection exhausted 128 GB at sf10. Now each query gets a
+fresh connection (drops DuckDB's buffer pool) and the value compare runs
+ENTIRELY inside DuckDB as a typed row-multiset equality — EXCEPT ALL in
+both directions over name-sorted projections — so no sort, no pandas
+frame, and no stringify ever touches the big results. Equality is
+DuckDB's DISTINCT-style (NULL==NULL, NaN==NaN), the same row-multiset
+the old string compare checked; the driver's own sf0.01 gate remains the
+string-hash authority for formatting-level drift.
 """
 import gc
 import json
@@ -37,69 +43,58 @@ def table_src(sf_dir, t):
     return f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
 
 
-def canon(con, rel):
-    """DataFrame with columns sorted by name and rows in a canonical
-    total order (ORDER BY every column, name-sorted). Each query's own
-    ORDER BY is already total, but the Spark dump may be written as
-    multiple part files at natural parallelism (SPARK_GRAFT_DUMP_COALESCE=0
-    at scale points) and a parallel glob read does not preserve global
-    order — so both sides are re-sorted the same way, keeping the compare
-    an exact schema + row-multiset equality either way."""
-    cols = ", ".join(f'"{c}"' for c in sorted(rel.columns))
-    return rel.project(cols).order(cols).fetchdf()
-
-
-def compare(name, want, got):
-    """Exact value compare (mirrors the driver's hash of values), one
-    column at a time so peak memory is two string arrays of a single
-    column, not two stringified copies of the whole frame."""
-    import numpy as np
-    for c in want.columns:
-        aw = want[c].astype(str).values
-        ag = got[c].astype(str).values
-        neq = aw != ag
-        if neq.any():
-            r = int(np.argwhere(neq)[0][0])
-            print(f"FAIL {name}: first diff col {c} row {r}: "
-                  f"want={want.iloc[r][c]!r} got={got.iloc[r][c]!r} "
-                  f"({int(neq.sum())} cells differ in this column)")
-            return False
-        del aw, ag, neq
-    return True
-
-
 def run_one(sf_dir, out_dir, name, sql):
     """One query under a fresh connection; returns 'pass'/'fail'."""
     con = duckdb.connect()
     try:
-        # leave headroom for the python-side frames, and give DuckDB a
-        # spill path (in-memory connections otherwise can't offload)
+        # give DuckDB a spill path (in-memory connections otherwise
+        # can't offload) and leave headroom for the OS page cache
         con.execute("SET memory_limit='70GB'")
         con.execute("SET temp_directory='scratch/duck_tmp'")
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM {table_src(sf_dir, t)}")
         try:
-            want = canon(con, con.sql(sql))
+            wcols = list(con.sql(sql).columns)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             return "fail"
         try:
-            got = canon(con, con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
+            gcols = list(con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").columns)
         except Exception as e:
             print(f"FAIL {name}: spark result missing: {e}")
             return "fail"
-        if list(want.columns) != list(got.columns):
-            print(f"FAIL {name}: schema want={list(want.columns)} "
-                  f"got={list(got.columns)}")
+        if sorted(wcols) != sorted(gcols):
+            print(f"FAIL {name}: schema want={sorted(wcols)} "
+                  f"got={sorted(gcols)}")
             return "fail"
-        if len(want) != len(got):
-            print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
+        proj = ", ".join(f'"{c}"' for c in sorted(wcols))
+        # materialize the oracle ONCE (the EXCEPTs would otherwise
+        # re-execute it per branch); spills via temp_directory if large.
+        # Spark dumps may be multi-part at natural parallelism
+        # (SPARK_GRAFT_DUMP_COALESCE=0) so row ORDER is not compared —
+        # multiset equality is the contract, same as before.
+        con.execute(f"CREATE TEMP TABLE w_ AS SELECT {proj} FROM ({sql})")
+        con.execute(f"CREATE TEMP TABLE g_ AS SELECT {proj} "
+                    f"FROM '{out_dir}/{name}/*.parquet'")
+        nw = con.execute("SELECT count(*) FROM w_").fetchone()[0]
+        ng = con.execute("SELECT count(*) FROM g_").fetchone()[0]
+        if nw != ng:
+            print(f"FAIL {name}: rows want={nw} got={ng}")
             return "fail"
-        if not compare(name, want, got):
+        sample = con.execute(
+            "SELECT * FROM ("
+            " (SELECT 'oracle-only' AS side_, * FROM"
+            "   (SELECT * FROM w_ EXCEPT ALL SELECT * FROM g_))"
+            " UNION ALL"
+            " (SELECT 'spark-only' AS side_, * FROM"
+            "   (SELECT * FROM g_ EXCEPT ALL SELECT * FROM w_))"
+            ") LIMIT 3").fetchall()
+        if sample:
+            print(f"FAIL {name}: multiset diff, sample rows: {sample}")
             return "fail"
-        print(f"PASS {name} ({len(want)} rows)")
+        print(f"PASS {name} ({nw} rows)")
         return "pass"
     finally:
         con.close()
