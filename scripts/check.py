@@ -76,7 +76,11 @@ def run_one(sf_dir, out_dir, name, sql):
         # (SPARK_GRAFT_DUMP_COALESCE=0) so row ORDER is not compared —
         # multiset equality is the contract, same as before.
         con.execute(f"CREATE TEMP TABLE w_ AS SELECT {proj} FROM ({sql})")
-        con.execute(f"CREATE TEMP TABLE g_ AS SELECT {proj} "
+        # the Spark side stays a VIEW: it is already materialized as
+        # parquet on disk, so the two EXCEPT branches just scan it twice —
+        # a temp-table copy doubled spill volume and filled the disk on
+        # 180M-row results
+        con.execute(f"CREATE VIEW g_ AS SELECT {proj} "
                     f"FROM '{out_dir}/{name}/*.parquet'")
         nw = con.execute("SELECT count(*) FROM w_").fetchone()[0]
         ng = con.execute("SELECT count(*) FROM g_").fetchone()[0]
