@@ -42,7 +42,35 @@ def main():
         "SPARK_GRAFT_SKIP_ORACLES", "").split(",") if s}
     single_run_sec = float(os.environ.get("SPARK_GRAFT_SINGLE_RUN_SEC", "30"))
     times = {}
+    # Resume: a baseline record at a big scale point is hours of DuckDB
+    # wall time; write the JSON after EVERY query and skip queries already
+    # recorded for the SAME sf dir, so an interrupted run (round boundary,
+    # OOM, reboot) strands at most the query in flight, not the whole
+    # record. Delete the out file to force a full re-record.
+    if os.path.exists(out_json):
+        try:
+            prev = json.load(open(out_json))
+            if prev.get("sf_dir") == sf_dir:
+                times = dict(prev.get("queries", {}))
+                print(f"resuming {out_json}: {len(times)} already recorded")
+        except (json.JSONDecodeError, OSError):
+            pass
+
+    def write_payload():
+        payload = {"sf_dir": sf_dir, "engine": "duckdb",
+                   "engine_version": duckdb.__version__,
+                   "note": "per-query wall seconds, best of 2 after warmup "
+                           f"(single cold run if warmup > {single_run_sec:g}"
+                           " s), single-threaded-engine defaults",
+                   "skipped": sorted(skip),
+                   "queries": times}
+        with open(out_json, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+
     for name, sql in sorted(oracle.items()):
+        if name in times:
+            print(f"{name}: already recorded ({times[name]} s)")
+            continue
         if name in skip:
             print(f"{name}: SKIP (SPARK_GRAFT_SKIP_ORACLES)")
             continue
@@ -57,6 +85,7 @@ def main():
             if warm_dt > single_run_sec:
                 times[name] = round(warm_dt, 4)
                 print(f"{name}: {times[name]} s (single cold run)")
+                write_payload()
                 continue
             best = None
             for _ in range(2):
@@ -66,17 +95,10 @@ def main():
                 best = dt if best is None else min(best, dt)
             times[name] = round(best, 4)
             print(f"{name}: {times[name]} s")
+            write_payload()
         except Exception as e:
             print(f"{name}: SKIP ({e})", file=sys.stderr)
-    payload = {"sf_dir": sf_dir, "engine": "duckdb",
-               "engine_version": duckdb.__version__,
-               "note": "per-query wall seconds, best of 2 after warmup "
-                       f"(single cold run if warmup > {single_run_sec:g} s), "
-                       "single-threaded-engine defaults",
-               "skipped": sorted(skip),
-               "queries": times}
-    with open(out_json, "w") as f:
-        json.dump(payload, f, indent=1, sort_keys=True)
+    write_payload()
     print(f"wrote {out_json} ({len(times)} queries)")
 
 
