@@ -35,6 +35,10 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# above this row count the value compare switches from raw-row EXCEPT to
+# 64-bit row-hash multisets (see run_one); overridable for testing
+HASH_ROWS = int(os.environ.get("SPARK_GRAFT_HASH_ROWS", "50000000"))
+
 
 def table_src(sf_dir, t):
     """FROM target: single parquet file, or a directory of part files
@@ -48,8 +52,12 @@ def run_one(sf_dir, out_dir, name, sql):
     con = duckdb.connect()
     try:
         # give DuckDB a spill path (in-memory connections otherwise
-        # can't offload) and leave headroom for the OS page cache
-        con.execute("SET memory_limit='70GB'")
+        # can't offload) and leave headroom for the OS page cache.
+        # SPARK_GRAFT_DUCK_MEM: raise when the box is otherwise idle —
+        # a 180M-row EXCEPT that fits in RAM never touches the (much
+        # smaller) free disk.
+        mem = os.environ.get("SPARK_GRAFT_DUCK_MEM", "70GB")
+        con.execute(f"SET memory_limit='{mem}'")
         con.execute("SET temp_directory='scratch/duck_tmp'")
         for t in TABLES:
             con.execute(
@@ -70,35 +78,80 @@ def run_one(sf_dir, out_dir, name, sql):
                   f"got={sorted(gcols)}")
             return "fail"
         proj = ", ".join(f'"{c}"' for c in sorted(wcols))
-        # materialize the oracle ONCE (the EXCEPTs would otherwise
-        # re-execute it per branch); spills via temp_directory if large.
-        # Spark dumps may be multi-part at natural parallelism
-        # (SPARK_GRAFT_DUMP_COALESCE=0) so row ORDER is not compared —
-        # multiset equality is the contract, same as before.
-        con.execute(f"CREATE TEMP TABLE w_ AS SELECT {proj} FROM ({sql})")
         # the Spark side stays a VIEW: it is already materialized as
-        # parquet on disk, so the two EXCEPT branches just scan it twice —
-        # a temp-table copy doubled spill volume and filled the disk on
+        # parquet on disk, so compare branches just re-scan it — a
+        # temp-table copy doubled spill volume and filled the disk on
         # 180M-row results
         con.execute(f"CREATE VIEW g_ AS SELECT {proj} "
                     f"FROM '{out_dir}/{name}/*.parquet'")
-        nw = con.execute("SELECT count(*) FROM w_").fetchone()[0]
         ng = con.execute("SELECT count(*) FROM g_").fetchone()[0]
-        if nw != ng:
-            print(f"FAIL {name}: rows want={nw} got={ng}")
-            return "fail"
-        sample = con.execute(
-            "SELECT * FROM ("
-            " (SELECT 'oracle-only' AS side_, * FROM"
-            "   (SELECT * FROM w_ EXCEPT ALL SELECT * FROM g_))"
-            " UNION ALL"
-            " (SELECT 'spark-only' AS side_, * FROM"
-            "   (SELECT * FROM g_ EXCEPT ALL SELECT * FROM w_))"
-            ") LIMIT 3").fetchall()
-        if sample:
-            print(f"FAIL {name}: multiset diff, sample rows: {sample}")
-            return "fail"
-        print(f"PASS {name} ({nw} rows)")
+        # Spark dumps may be multi-part at natural parallelism
+        # (SPARK_GRAFT_DUMP_COALESCE=0) so row ORDER is not compared —
+        # multiset equality is the contract, same as before.
+        if ng <= HASH_ROWS:
+            # exact typed compare with sample-row diagnostics; the oracle
+            # is materialized ONCE (the EXCEPTs would otherwise
+            # re-execute it per branch) and spills via temp_directory
+            con.execute(
+                f"CREATE TEMP TABLE w_ AS SELECT {proj} FROM ({sql})")
+            nw = con.execute("SELECT count(*) FROM w_").fetchone()[0]
+            if nw != ng:
+                print(f"FAIL {name}: rows want={nw} got={ng}")
+                return "fail"
+            sample = con.execute(
+                "SELECT * FROM ("
+                " (SELECT 'oracle-only' AS side_, * FROM"
+                "   (SELECT * FROM w_ EXCEPT ALL SELECT * FROM g_))"
+                " UNION ALL"
+                " (SELECT 'spark-only' AS side_, * FROM"
+                "   (SELECT * FROM g_ EXCEPT ALL SELECT * FROM w_))"
+                ") LIMIT 3").fetchall()
+            if sample:
+                print(f"FAIL {name}: multiset diff, sample rows: {sample}")
+                return "fail"
+        else:
+            # beyond HASH_ROWS a raw-row EXCEPT outgrows RAM + free disk
+            # (a 180M-row two-directional EXCEPT over wide/string rows
+            # peaked past 100 GB mem + 50 GB spill): compare the multiset
+            # of 64-bit row hashes instead — same counts + multiset
+            # contract at ~8 bytes/row, collision odds ~n^2/2^65.
+            # The oracle runs ONCE into the hash temp table.
+            # DuckDB's hash() is width-uniform for integers but NOT
+            # across FLOAT/DECIMAL/DOUBLE, so approx/decimal columns are
+            # cast to DOUBLE per side (the typed EXCEPT coerced these
+            # implicitly) — integer-vs-double stays a legit mismatch.
+            def hproj(rel_sql):
+                types = [str(t) for t in con.sql(rel_sql).types]
+                cols = []
+                for c, t in zip(sorted(wcols), types):
+                    if t in ("FLOAT", "REAL") or t.startswith("DECIMAL"):
+                        cols.append(f'CAST("{c}" AS DOUBLE)')
+                    else:
+                        cols.append(f'"{c}"')
+                return ", ".join(cols)
+            con.execute(
+                f"CREATE TEMP TABLE wh AS SELECT hash(ROW("
+                f"{hproj(f'SELECT {proj} FROM ({sql}) LIMIT 0')})) AS h "
+                f"FROM ({sql})")
+            nw = con.execute("SELECT count(*) FROM wh").fetchone()[0]
+            if nw != ng:
+                print(f"FAIL {name}: rows want={nw} got={ng}")
+                return "fail"
+            gh = (f"SELECT hash(ROW({hproj('SELECT * FROM g_ LIMIT 0')}))"
+                  f" AS h FROM g_")
+            sample = con.execute(
+                "SELECT * FROM ("
+                " (SELECT 'oracle-only' AS side_, h FROM"
+                f"   (SELECT h FROM wh EXCEPT ALL {gh}))"
+                " UNION ALL"
+                " (SELECT 'spark-only' AS side_, h FROM"
+                f"   ({gh} EXCEPT ALL SELECT h FROM wh))"
+                ") LIMIT 3").fetchall()
+            if sample:
+                print(f"FAIL {name}: row-hash multiset diff "
+                      f"(hash-mode, >{HASH_ROWS} rows): {sample}")
+                return "fail"
+        print(f"PASS {name} ({ng} rows)")
         return "pass"
     finally:
         con.close()
