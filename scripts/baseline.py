@@ -33,6 +33,11 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     out_json = sys.argv[3] if len(sys.argv) > 3 else "BASELINE_local.json"
     con = duckdb.connect()
+    # bound DuckDB and give it a spill path: without a limit the big
+    # scale-point oracles run the box out of memory
+    con.execute(f"SET memory_limit='"
+                f"{os.environ.get('SPARK_GRAFT_DUCK_MEM', '70GB')}'")
+    con.execute("SET temp_directory='scratch/duck_tmp'")
     for t in TABLES:
         p_ = f"{sf_dir}/{t}.parquet"
         pat = f"{p_}/*.parquet" if os.path.isdir(p_) else p_
@@ -61,7 +66,8 @@ def main():
                    "engine_version": duckdb.__version__,
                    "note": "per-query wall seconds, best of 2 after warmup "
                            f"(single cold run if warmup > {single_run_sec:g}"
-                           " s), single-threaded-engine defaults",
+                           " s), single-threaded-engine defaults; result "
+                           "materialized engine-side (CTAS temp table)",
                    "skipped": sorted(skip),
                    "queries": times}
         with open(out_json, "w") as f:
@@ -77,27 +83,33 @@ def main():
         # warm once (page cache, catalog), then time the better of 2 runs;
         # if even the warmup exceeds single_run_sec, its own (cold) time
         # stands — variance on minutes-long scans is small, and a cold run
-        # can only overstate the DuckDB time it is credited with
-        try:
+        # can only overstate the DuckDB time it is credited with.
+        # Materialize INSIDE DuckDB (CTAS into a temp table), not
+        # fetchall(): building python tuples for a 180M-row result is
+        # untimed-engine overhead and OOM-killed the recorder at sf30
+        # (130 GB of tuples for one query); CTAS still forces every
+        # column to be computed and stored, engine-side, under the
+        # memory limit + spill path.
+        def run():
             t0 = time.perf_counter()
-            con.sql(sql).fetchall()
-            warm_dt = time.perf_counter() - t0
+            con.execute("DROP TABLE IF EXISTS _basetmp")
+            con.execute(f"CREATE TEMP TABLE _basetmp AS ({sql})")
+            return time.perf_counter() - t0
+        try:
+            warm_dt = run()
             if warm_dt > single_run_sec:
                 times[name] = round(warm_dt, 4)
                 print(f"{name}: {times[name]} s (single cold run)")
                 write_payload()
                 continue
-            best = None
-            for _ in range(2):
-                t0 = time.perf_counter()
-                con.sql(sql).fetchall()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+            best = min(run() for _ in range(2))
             times[name] = round(best, 4)
             print(f"{name}: {times[name]} s")
             write_payload()
         except Exception as e:
             print(f"{name}: SKIP ({e})", file=sys.stderr)
+        finally:
+            con.execute("DROP TABLE IF EXISTS _basetmp")
     write_payload()
     print(f"wrote {out_json} ({len(times)} queries)")
 
