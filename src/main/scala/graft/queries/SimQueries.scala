@@ -105,9 +105,19 @@ object SimQueries {
       // triangle-decomposed all-pairs: per-label block size capped at
       // maxBlock per task (hot labels fan out over bucket pairs instead
       // of funnelling |block|^2 rows through one task), closest pair via
-      // map-side-partial max_by instead of a per-label window
+      // map-side-partial max_by instead of a per-label window.
+      // maxBlock sets the shuffle/grain trade: each row is replicated
+      // m+1 = ceil(|label|/maxBlock)+1 times into the bucket-pair join,
+      // so shuffle bytes scale as |label|^2/maxBlock while a task's pair
+      // work is maxBlock^2 (~1 GFLOP at 4096 x 64 dims ≈ a ~1 s task).
+      // 512 cost sf100 (200k-row labels, m=391) a ~230 GB vector
+      // shuffle; 4096 cuts replication 8x (324.5 -> ~239 s measured —
+      // the remaining time is the inherent ~2.6e13-flop pair compute,
+      // which only the IVF path escapes). Results are
+      // partitioning-invariant (BlockedPairSpec pins bucketed == plain
+      // self-join).
       S.blockedClosestPair(T.embeddings(s, d),
-          "label", "vec_id", "embedding", maxBlock = 512)
+          "label", "vec_id", "embedding", maxBlock = 4096)
         .orderBy("label")
     },
 
@@ -142,7 +152,7 @@ object SimQueries {
         |ORDER BY e.vec_id""") { (s, d) =>
       val emb = T.embeddings(s, d)
       val canon = S.blockedPairs(emb, "label", "vec_id", "embedding",
-          maxBlock = 512)
+          maxBlock = 4096)
         .filter(col("cos") >= 0.35)
         .groupBy(col("vb").as("vec_id"))
         .agg(min(col("va")).as("__canon"))
@@ -183,7 +193,7 @@ object SimQueries {
         |SELECT label, va, vb, cos FROM r WHERE rk = 1 ORDER BY label""") { (s, d) =>
       S.blockedClosestPair(
           T.embeddings(s, d).filter(col("vec_id") % 40 === 0),
-          "label", "vec_id", "embedding", maxBlock = 512)
+          "label", "vec_id", "embedding", maxBlock = 4096)
         .orderBy("label")
     },
 
@@ -207,7 +217,7 @@ object SimQueries {
         |ORDER BY e.vec_id""") { (s, d) =>
       val emb = T.embeddings(s, d).filter(col("vec_id") % 40 === 0)
       val canon = S.blockedPairs(emb, "label", "vec_id", "embedding",
-          maxBlock = 512)
+          maxBlock = 4096)
         .filter(col("cos") >= 0.35)
         .groupBy(col("vb").as("vec_id"))
         .agg(min(col("va")).as("__canon"))
