@@ -37,7 +37,15 @@ def main():
     # scale-point oracles run the box out of memory
     con.execute(f"SET memory_limit='"
                 f"{os.environ.get('SPARK_GRAFT_DUCK_MEM', '70GB')}'")
-    con.execute("SET temp_directory='scratch/duck_tmp'")
+    # spill path + HARD spill cap (same knobs as check.py): one oracle
+    # must not be able to blow the box's disk budget — past the cap it
+    # raises, is recorded as a per-query SKIP below, and the (resumable,
+    # per-query-checkpointed) record keeps going.
+    duck_tmp = os.environ.get("SPARK_GRAFT_DUCK_TMP", "scratch/duck_tmp")
+    os.makedirs(duck_tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{duck_tmp}'")
+    con.execute(f"SET max_temp_directory_size='"
+                f"{os.environ.get('SPARK_GRAFT_DUCK_TMP_CAP', '40GB')}'")
     for t in TABLES:
         p_ = f"{sf_dir}/{t}.parquet"
         pat = f"{p_}/*.parquet" if os.path.isdir(p_) else p_

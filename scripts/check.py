@@ -58,7 +58,15 @@ def run_one(sf_dir, out_dir, name, sql):
         # smaller) free disk.
         mem = os.environ.get("SPARK_GRAFT_DUCK_MEM", "70GB")
         con.execute(f"SET memory_limit='{mem}'")
-        con.execute("SET temp_directory='scratch/duck_tmp'")
+        # spill path + HARD spill cap: sf100's sim3 oracle filled the
+        # whole disk through DuckDB temp storage and ENOSPC'd mid-sweep;
+        # with the cap the one oracle fails soft (caught below as a
+        # per-query FAIL) and the sweep's disk budget holds.
+        duck_tmp = os.environ.get("SPARK_GRAFT_DUCK_TMP", "scratch/duck_tmp")
+        os.makedirs(duck_tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{duck_tmp}'")
+        con.execute(f"SET max_temp_directory_size='"
+                    f"{os.environ.get('SPARK_GRAFT_DUCK_TMP_CAP', '40GB')}'")
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM {table_src(sf_dir, t)}")

@@ -40,6 +40,17 @@ def main():
     src, out, mult = sys.argv[1], sys.argv[2], int(sys.argv[3])
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    # same bounded-spill knobs as check.py/baseline.py: the split-table
+    # materialization below may spill, and it must do so in the managed
+    # scratch space under a hard cap, not wherever the cwd points
+    con.execute(f"SET memory_limit='"
+                f"{os.environ.get('SPARK_GRAFT_DUCK_MEM', '70GB')}'")
+    os.makedirs(os.environ.get(
+        "SPARK_GRAFT_DUCK_TMP", "scratch/duck_tmp"), exist_ok=True)
+    con.execute(f"SET temp_directory='"
+                f"{os.environ.get('SPARK_GRAFT_DUCK_TMP', 'scratch/duck_tmp')}'")
+    con.execute(f"SET max_temp_directory_size='"
+                f"{os.environ.get('SPARK_GRAFT_DUCK_TMP_CAP', '40GB')}'")
 
     def nxt(table, col):
         v = con.sql(
@@ -88,11 +99,19 @@ def main():
         else:
             nfiles = min(32, max(8, mult))
             os.makedirs(tgt, exist_ok=True)
+            # materialize the replicated SELECT ONCE (temp table, spills
+            # via temp_directory) and cut the shards from that: the old
+            # per-shard WHERE re-executed the full CROSS JOIN generation
+            # query nfiles times — up to 32 full generation scans per
+            # table at big scale points
+            con.execute("DROP TABLE IF EXISTS _gen")
+            con.execute(f"CREATE TEMP TABLE _gen AS ({select})")
             for j in range(nfiles):
                 con.execute(
-                    f"COPY (SELECT * FROM ({select}) q "
+                    f"COPY (SELECT * FROM _gen "
                     f"WHERE {split_key} % {nfiles} = {j}) "
                     f"TO '{tgt}/part_{j:02d}.parquet' (FORMAT PARQUET)")
+            con.execute("DROP TABLE IF EXISTS _gen")
         n = con.sql(
             f"SELECT count(*) FROM {rd(tgt)}").fetchone()[0]
         print(f"{name}: {n} rows")

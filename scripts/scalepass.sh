@@ -67,7 +67,17 @@ while [ $i -lt ${#PENDING[@]} ]; do
   # check.py exits non-zero on any fail; record per-query lines either way
   if python3 scripts/check.py "${SF_DIR}" "${OUT_DIR}" "${batch[@]}" \
       | tee -a "${RESULTS}"; then :; else FAILED=1; fi
-  for q in "${batch[@]}"; do rm -rf "${OUT_DIR:?}/${q}"; done
+  # delete only PASSED queries' dumps; a FAILed dump is the Spark-side
+  # evidence needed to debug (an intermittent failure re-dumped on resume
+  # is unreproducible) — moved aside so a retry can't half-overwrite it
+  for q in "${batch[@]}"; do
+    if grep -q "^PASS ${q} " "${RESULTS}"; then
+      rm -rf "${OUT_DIR:?}/${q}" "${OUT_DIR:?}/${q}.failed"
+    elif [ -e "${OUT_DIR}/${q}" ]; then
+      rm -rf "${OUT_DIR:?}/${q}.failed"
+      mv "${OUT_DIR}/${q}" "${OUT_DIR}/${q}.failed"
+    fi
+  done
 done
 
 echo "== scalepass done: $(grep -c '^PASS' "${RESULTS}") cumulative pass, \

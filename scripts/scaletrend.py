@@ -33,17 +33,24 @@ def main():
 
     names = sorted(set().union(*(set(p[2]) for p in points)))
     tags = [p[0] for p in points]
-    header = ["query"] + [f"{t} (s)" for t in tags] + ["alpha (last step)"]
+    header = ["query"] + [f"{t} (s)" for t in tags] + ["alpha"]
     rows = []
     for n in names:
         secs = [p[2].get(n) for p in points]
-        # exponent over the last step where both endpoints exist
+        # exponent over the last step where both endpoints exist AND are
+        # positive (`s is not None`: a recorded 0.0 is a data point, not a
+        # missing one, but log needs > 0; -1.0 marks a failed query). The
+        # endpoints actually used are named in the cell — a mid-size gap
+        # would otherwise silently relabel which step alpha measures.
         alpha = ""
-        have = [(m, s) for (_, m, _, _), s in zip(points, secs) if s]
+        have = [(t, m, s) for (t, m, _, _), s in zip(points, secs)
+                if s is not None and s > 0]
         if len(have) >= 2:
-            (m0, s0), (m1, s1) = have[-2], have[-1]
-            alpha = f"{math.log(s1 / s0) / math.log(m1 / m0):.2f}"
-        rows.append([n] + [f"{s:.2f}" if s else "—" for s in secs] + [alpha])
+            (t0, m0, s0), (t1, m1, s1) = have[-2], have[-1]
+            alpha = (f"{math.log(s1 / s0) / math.log(m1 / m0):.2f}"
+                     f" ({t0}→{t1})")
+        rows.append([n] + [f"{s:.2f}" if s is not None else "—"
+                           for s in secs] + [alpha])
     totals = (["TOTAL"] + [f"{p[3]:.1f}" for p in points] +
               [f"{math.log(points[-1][3] / points[-2][3]) / math.log(points[-1][1] / points[-2][1]):.2f}"])
 
@@ -58,9 +65,11 @@ def main():
     print(fmt(totals))
 
     # flag superlinear real-work queries (>=1s at the largest point)
+    def alpha_val(cell):
+        return float(cell.split()[0]) if cell else None
     flagged = [r for r in rows
-               if r[-1] and float(r[-1]) > 1.3 and r[-2] != "—"
-               and float(r[-2].replace("—", "0")) >= 1.0]
+               if r[-1] and alpha_val(r[-1]) > 1.3 and r[-2] != "—"
+               and float(r[-2]) >= 1.0]
     if flagged:
         print("\nsuperlinear (alpha>1.3, >=1s at largest point):")
         for r in flagged:

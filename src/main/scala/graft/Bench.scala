@@ -219,7 +219,24 @@ object Bench {
       if (skipQ.isEmpty) ""
       else skipQ.toSeq.sorted.map("\"" + _ + "\"")
         .mkString(""","skipped_queries":[""", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"$skipPart$ratioPart}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"$skipPart$ratioPart}"""
+    println(line)
+    // Also persist the line whole: the driver's round artifact captures
+    // only the sbt output tail, which truncates the per-query map on big
+    // query counts (BENCH_r13/r14 committed with "parsed": null). A file
+    // copy can always be read in full. Best-effort — a read-only CWD must
+    // not fail the bench itself.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "scratch/bench_last.json")
+    try {
+      val f = new java.io.File(outPath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.println(line) finally w.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $outPath: $e")
+    }
     spark.stop()
   }
 }

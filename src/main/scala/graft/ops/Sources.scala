@@ -12,9 +12,10 @@ object Sources {
     * (camera_calib.py:46, point3d_transformation.py:19-23). The file listing
     * itself is distributed; `content` is pruned unless selected.
     */
-  def binaryScan(spark: SparkSession, dir: String, glob: Option[String] = None)
-      : DataFrame = {
+  def binaryScan(spark: SparkSession, dir: String, glob: Option[String] = None,
+      recursive: Boolean = false): DataFrame = {
     val r = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", String.valueOf(recursive))
     glob.fold(r)(g => r.option("pathGlobFilter", g)).load(dir)
   }
 
@@ -34,10 +35,16 @@ object Sources {
     import spark.implicits._
     val listed = binaryScan(spark, dir, glob)
       .select("path", "length").as[(String, Long)]
+    // Broadcast the SESSION's Hadoop conf (spark.hadoop.* — object-store
+    // credentials, endpoints, custom FS settings) to the tasks: a fresh
+    // `new Configuration()` resolves only default resources, which happens
+    // to work on file:// but silently ignores the session's settings on
+    // any s3a/abfs/HDFS deployment while every other scan honors them.
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     listed.mapPartitions { it =>
-      // Fresh Hadoop conf per task: the driver's conf is not serializable;
-      // default-resource resolution covers file:// and cluster defaults.
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = confBc.value.value
       it.map { case (path, len) =>
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(conf)

@@ -17,6 +17,17 @@ object CoreQueries {
     // point3d_transformation.py:19-23). Oracle: DuckDB read_blob over the
     // same directory — the literal dir is spliced in for `{SF_DIR}` by
     // Verify at dump time (table functions only take constant args).
+    //
+    // Listing convention note: datagen writes split tables
+    // (documents/embeddings at scale points) as DIRECTORIES of part
+    // files. Both engines' NON-recursive listings here skip those
+    // directories — Spark's binaryFile source lists only top-level
+    // regular files, DuckDB's single-level glob likewise — so s1/s2/s3
+    // cover the single-file tables only. That alignment is asserted,
+    // not assumed: s1b_recursive_scan below lists BOTH layouts
+    // recursively in both engines, so a layout or listing-convention
+    // change diverges a green row instead of silently shrinking
+    // coverage.
     QueryDef("s1_binary_scan",
       """SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
         |  size AS length
@@ -37,6 +48,23 @@ object CoreQueries {
         .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
           col("length"))
         .orderBy("file")
+    },
+
+    // S1b: RECURSIVE corpus listing — the assertion companion to s1's
+    // listing-convention note. Spark's recursiveFileLookup and DuckDB's
+    // `**` glob must surface the same file set whether a table is one
+    // parquet file or a datagen-sharded directory of part files (shard
+    // basenames repeat across directories, so the identity key is the
+    // last TWO path components — '<parent>/<name>', e.g.
+    // 'documents.parquet/part_00.parquet', 'sf0.1/region.parquet').
+    QueryDef("s1b_recursive_scan",
+      """SELECT regexp_extract(filename, '[^/]+/[^/]+$', 0) AS file2,
+        |  size AS length
+        |FROM read_blob('{SF_DIR}/**/*.parquet') ORDER BY file2""") { (s, d) =>
+      Sources.binaryScan(s, d, Some("*.parquet"), recursive = true)
+        .select(regexp_extract(col("path"), "[^/]+/[^/]+$", 0).as("file2"),
+          col("length"))
+        .orderBy("file2")
     },
 
     // S3 (plumbing): expression-only binary metadata over a bounded

@@ -24,6 +24,19 @@ object SimQueries {
     S.kmeansIndex(T.embeddings(s, d), "embedding", "vec_id", Sim3IndexK,
       cacheKey = d, iters = Sim3IndexIters)
 
+  /** sim3_slice's index: same parameters over the `vec_id % 40 = 0` slice.
+    * The cacheKey MUST differ from the full index's — the memoization key
+    * otherwise collides (a filter changes neither the input file listing
+    * nor any other key component) and whichever of full/slice builds first
+    * would silently serve the other's queries.
+    */
+  def sim3SliceIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    S.kmeansIndex(
+      T.embeddings(s, d).filter(col("vec_id") % 40 === 0),
+      "embedding", "vec_id", Sim3IndexK,
+      cacheKey = s"$d#slice40", iters = Sim3IndexIters)
+
   def defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-k (baseline / oracle; the query side must be
@@ -306,6 +319,148 @@ object SimQueries {
       // passes run once per JVM, queries only probe the prebuilt cells
       val cents = sim3Index(s, d)
       val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = emb
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      S.ivfTopK(q, c, cents, k = 10, nProbe = 8)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .orderBy("q_id", "rank")
+    },
+
+    // ---- sim-family deterministic-slice twins ------------------------
+    //
+    // Same `vec_id % 40 = 0` keyed slice as em1/em2's twins (replication
+    // offsets vec_id by multiples of 40 — scripts/datagen.py asserts it —
+    // so the slice keeps EVERY replica of the selected base vectors,
+    // preserving the exact-dup cluster structure). The need is
+    // oracle-side: sim3's full Lloyd-unrolled SQL exhausted DuckDB's
+    // temp disk at the sf100 (1000x) point — the single-node oracle,
+    // not the operator, is what stops scaling. The sliced oracles stay
+    // tractable at any committed scale point, keeping the whole sim
+    // pipeline DuckDB-checked where the full forms are skip-listed.
+    // Query ids: the slice's members below 200 (0,40,80,120,160 — five
+    // queries, mirroring the full forms' vec_id < 5).
+    QueryDef("sim1_slice_brute_topk",
+      """WITH emb_s AS (SELECT * FROM embeddings WHERE vec_id % 40 = 0),
+        |q AS (SELECT vec_id AS q_id, embedding AS qv FROM emb_s WHERE vec_id < 200),
+        |c AS (SELECT vec_id AS c_id, embedding AS cv FROM emb_s),
+        |s AS (
+        |  SELECT q_id, c_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))),
+        |      6) AS sim
+        |  FROM q CROSS JOIN c),
+        |r AS (SELECT q_id, c_id, sim,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+        |      FROM s)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, sim FROM r
+        |WHERE rank <= 10 ORDER BY q_id, rank""") { (s, d) =>
+      val emb = T.embeddings(s, d).filter(col("vec_id") % 40 === 0)
+      val q = emb.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = emb
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      S.bruteTopK(q, c, 10)
+        .withColumn("rank", col("rank").cast("bigint"))
+        .select("q_id", "rank", "c_id", "sim")
+        .orderBy("q_id", "rank")
+    },
+
+    QueryDef("sim2_slice_ivf_assign",
+      """WITH emb_s AS (SELECT * FROM embeddings WHERE vec_id % 40 = 0),
+        |comp AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM emb_s),
+        |cent AS (
+        |  SELECT label AS c_label, pos, round(avg(v), 3) AS cv
+        |  FROM comp GROUP BY label, pos),
+        |centl AS (
+        |  SELECT c_label, list(cv ORDER BY pos) AS centroid
+        |  FROM cent GROUP BY c_label),
+        |dist AS (
+        |  SELECT e.vec_id, c.c_label,
+        |    round(list_sum(list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) *
+        |           (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))), 6) AS d2
+        |  FROM emb_s e CROSS JOIN centl c),
+        |r AS (SELECT vec_id, c_label,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rk
+        |      FROM dist)
+        |SELECT vec_id, c_label AS assigned FROM r WHERE rk = 1
+        |ORDER BY vec_id""") { (s, d) =>
+      val emb = T.embeddings(s, d).filter(col("vec_id") % 40 === 0)
+      val cents = S.centroids(emb, "embedding", "label")
+      S.assignToCentroids(emb, "embedding", "vec_id", cents)
+        .orderBy("vec_id")
+    },
+
+    QueryDef("sim3_slice_ivf_topk",
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id % 40 = 0),
+        |seeds AS (
+        |  SELECT vec_id AS c_label, list_transform(v, x -> round(x, 3)) AS c
+        |  FROM e ORDER BY vec_id LIMIT 25),
+        |a1 AS (
+        |  SELECT e.vec_id, e.v, c.c_label
+        |  FROM e CROSS JOIN seeds c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6), c.c_label) = 1),
+        |m1 AS (
+        |  SELECT a.c_label, pos, round(avg(a.v[pos]), 3) AS cv
+        |  FROM a1 a CROSS JOIN (SELECT unnest(range(1, 65)) AS pos)
+        |  GROUP BY a.c_label, pos),
+        |c1 AS (SELECT c_label, list(cv ORDER BY pos) AS c FROM m1 GROUP BY c_label),
+        |a2 AS (
+        |  SELECT e.vec_id, e.v, c.c_label
+        |  FROM e CROSS JOIN c1 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6), c.c_label) = 1),
+        |m2 AS (
+        |  SELECT a.c_label, pos, round(avg(a.v[pos]), 3) AS cv
+        |  FROM a2 a CROSS JOIN (SELECT unnest(range(1, 65)) AS pos)
+        |  GROUP BY a.c_label, pos),
+        |c2 AS (SELECT c_label, list(cv ORDER BY pos) AS c FROM m2 GROUP BY c_label),
+        |a3 AS (
+        |  SELECT e.vec_id, e.v, c.c_label
+        |  FROM e CROSS JOIN c2 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6), c.c_label) = 1),
+        |m3 AS (
+        |  SELECT a.c_label, pos, round(avg(a.v[pos]), 3) AS cv
+        |  FROM a3 a CROSS JOIN (SELECT unnest(range(1, 65)) AS pos)
+        |  GROUP BY a.c_label, pos),
+        |c3 AS (SELECT c_label, list(cv ORDER BY pos) AS c FROM m3 GROUP BY c_label),
+        |cand AS (
+        |  SELECT e.vec_id AS c_id, e.v AS cv, c.c_label AS cell
+        |  FROM e CROSS JOIN c3 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6), c.c_label) = 1),
+        |probes AS (
+        |  SELECT q.vec_id AS q_id, q.v AS qv, c.c_label AS cell
+        |  FROM (SELECT vec_id, v FROM e WHERE vec_id < 200) q
+        |  CROSS JOIN c3 c
+        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY round(list_sum(list_transform(range(1, 65), i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i]))), 6), c.c_label) <= 8),
+        |scored AS (
+        |  SELECT p.q_id, cand.c_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65), i -> p.qv[i] * cand.cv[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), i -> p.qv[i] * p.qv[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> cand.cv[i] * cand.cv[i])))),
+        |      6) AS sim
+        |  FROM probes p JOIN cand ON cand.cell = p.cell)
+        |SELECT q_id, CAST(rk AS BIGINT) AS rank, c_id, sim FROM (
+        |  SELECT q_id, c_id, sim,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rk
+        |  FROM scored)
+        |WHERE rk <= 10 ORDER BY q_id, rank""") { (s, d) =>
+      val emb = T.embeddings(s, d).filter(col("vec_id") % 40 === 0)
+      val cents = sim3SliceIndex(s, d)
+      val q = emb.filter(col("vec_id") < 200)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val c = emb
         .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))

@@ -60,6 +60,37 @@ object WindowQueries {
       Windows.gapSessionsScalable(eventsUsGrid(s, d), "event_id", "ts")
     },
 
+    // W10: the FAITHFUL single-ordered-window gap form (Windows.gapSessions
+    // — row_number + lead over one global order, the reference's literal
+    // shape) declared under its own name so BOTH twins carry oracle rows:
+    // w2 above IS the scalable form (range-partitioned numbering + grp+1
+    // self-join), w10 is the original. Same oracle SQL by construction —
+    // OpsSpec additionally pins the two row-identical on a shared corpus.
+    // At fact-table scale this form funnels every row through ONE window
+    // task by design; skip-list it in scale sweeps (w2 is the stand-in).
+    QueryDef("w10_gap_sessions_faithful",
+      """WITH ordered AS (
+        |  SELECT epoch_ns(ts) AS tsn,
+        |         row_number() OVER (ORDER BY event_id) AS rn
+        |  FROM events),
+        |g AS (
+        |  SELECT CAST((rn - 1) // 5 AS BIGINT) AS grp, min(tsn) AS start_ns,
+        |         max(tsn) AS end_ns, count(*) AS n
+        |  FROM ordered GROUP BY 1),
+        |w AS (
+        |  SELECT grp, start_ns, end_ns, n,
+        |         lead(start_ns) OVER (ORDER BY grp) AS next_start_ns,
+        |         lead(n) OVER (ORDER BY grp) AS next_n
+        |  FROM g)
+        |SELECT grp AS group_id, start_ns, end_ns, next_start_ns,
+        |       next_start_ns - end_ns AS gap_ns
+        |FROM w
+        |WHERE n = 5 AND next_n = 5
+        |  AND next_start_ns - end_ns > 12000000000
+        |ORDER BY group_id""") { (s, d) =>
+      Windows.gapSessions(eventsUsGrid(s, d), "event_id", "ts")
+    },
+
     // W3: top-k by value desc — 10 worst poses by mean error
     // (extrinsic_calibration.py:237-240). TakeOrderedAndProject at scale.
     QueryDef("w3_topk_worst",

@@ -35,9 +35,12 @@ class DeclaredQueriesSpec extends SparkSpec {
     //     range grids (5x5x5, 11x8, 3125 rows) independent of data size;
     //   j6_broadcast_singleton — one-row broadcast side;
     //   sim1_brute_topk — the documented brute-force ANN baseline (the
-    //     IVF path sim2/sim3 is the scale form).
+    //     IVF path sim2/sim3 is the scale form) — and its keyed-slice
+    //     twin sim1_slice_brute_topk, the same shape over the
+    //     `vec_id % 40 = 0` slice.
     val allowed = Set("j5_cross_grid", "j6_broadcast_singleton",
-      "x13_chessboard_grid", "g1_pose_grid", "sim1_brute_topk")
+      "x13_chessboard_grid", "g1_pose_grid", "sim1_brute_topk",
+      "sim1_slice_brute_topk")
     val dir = sf("sf0.001")
     graft.expr.GraftFunctions.register(spark)
     val offenders = SparkEntry.allDefs.filterNot(q => allowed(q.name)).flatMap { q =>
