@@ -103,6 +103,29 @@ object GeoQueries {
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
   }
 
+  // x17's body over an explicit lineitem source (shared by the full
+  // query and its slice twin; plan notes at the x17 QueryDef).
+  private def x17Body(li: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bracket = array(graft.ops.Hdr.ExposureBracket.map(lit): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+    val five = li
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), (col("l_quantity") / 50.0).as("z0"),
+        (col("l_discount") * 10.0).as("z1"))
+      .withColumn("slot", row_number().over(w))
+      .filter(col("slot") <= 5)
+      .select(col("l_orderkey"),
+        element_at(bracket, col("slot")).as("t"),
+        array(col("z0"), col("z1")).as("px"))
+    graft.ops.Hdr.mergeExploded(five, "l_orderkey", "t", "px")
+      .select(col("l_orderkey"), col("channel"),
+        round(col("radiance"), 6).as("radiance"))
+      .orderBy("l_orderkey", "channel")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // X5: Euclidean norm per residual (extrinsic_calibration.py:212,
@@ -500,12 +523,11 @@ object GeoQueries {
         |  round(sum(greatest(0.001, 1 - abs(2*z - 1)) * z / t)
         |      / sum(greatest(0.001, 1 - abs(2*z - 1))), 6) AS radiance
         |FROM chan GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
-      val bracket = array(graft.ops.Hdr.ExposureBracket.map(lit): _*)
-      // Slot assignment: row_number ≤ 5, which Spark 4 plans as
-      // WindowGroupLimit — a per-partition streaming top-5 per key BEFORE
-      // the exchange (Partial mode) and again after (Final), so no task
-      // ever buffers a whole key's rows. This replaced the r8
-      // collect_smallest_n (CollectTopK) aggregate: as a
+      // Plan shape (x17Body): slot assignment is row_number ≤ 5, which
+      // Spark 4 plans as WindowGroupLimit — a per-partition streaming
+      // top-5 per key BEFORE the exchange (Partial mode) and again after
+      // (Final), so no task ever buffers a whole key's rows. This
+      // replaced the r8 collect_smallest_n (CollectTopK) aggregate: as a
       // TypedImperativeAggregate it runs in ObjectHashAggregateExec,
       // whose sort-based fallback (128-key default) re-serializes every
       // priority-queue buffer through an external sort at 1.5M keys —
@@ -515,25 +537,45 @@ object GeoQueries {
       // the window's hashpartitioning(l_orderkey) already satisfies —
       // the whole query is ONE exchange.
       // l_linenumber alone is NOT unique per orderkey in the synthetic
-      // data — partkey/suppkey break the tie for a total slot order.
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("l_orderkey")
-        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+      // data — partkey/suppkey break the tie for a total slot order;
       // groups with <5 exposures are dropped by mergeExploded's
-      // minExposures count (the oracle's HAVING count(*) >= 5 guard)
-      val five = T.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          col("l_suppkey"), (col("l_quantity") / 50.0).as("z0"),
-          (col("l_discount") * 10.0).as("z1"))
-        .withColumn("slot", row_number().over(w))
-        .filter(col("slot") <= 5)
-        .select(col("l_orderkey"),
-          element_at(bracket, col("slot")).as("t"),
-          array(col("z0"), col("z1")).as("px"))
-      graft.ops.Hdr.mergeExploded(five, "l_orderkey", "t", "px")
-        .select(col("l_orderkey"), col("channel"),
-          round(col("radiance"), 6).as("radiance"))
-        .orderBy("l_orderkey", "channel")
+      // minExposures count (the oracle's HAVING count(*) >= 5 guard).
+      x17Body(T.lineitem(s, d))
+    },
+
+    // X17 slice twin (see x7Body note): l_orderkey is the window
+    // PARTITION key, so the keyed filter keeps whole exposure groups —
+    // slot assignment, the full-5 guard, and the merge are unchanged
+    // within every surviving group. The full oracle's 600M-row window
+    // sort spills past this box's disk at 1000x (measured: >46 GiB of
+    // DuckDB temp at a 70 GB memory limit, ENOSPC at 100 GB); full rows
+    // stay checked through the 300x point.
+    QueryDef("x17_slice_hdr_merge",
+      """WITH ranked AS (
+        |  SELECT l_orderkey,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_partkey, l_suppkey) AS slot,
+        |    l_quantity / 50.0 AS z0, l_discount * 10.0 AS z1
+        |  FROM lineitem WHERE l_orderkey % 50 = 0),
+        |five AS (SELECT * FROM ranked WHERE slot <= 5),
+        |full5 AS (
+        |  SELECT l_orderkey FROM five GROUP BY 1 HAVING count(*) >= 5),
+        |expo AS (
+        |  SELECT f.l_orderkey, slot,
+        |    CASE slot WHEN 1 THEN 1.0/200 WHEN 2 THEN 1.0/800
+        |              WHEN 3 THEN 1.0/400 WHEN 4 THEN 1.0/100
+        |              ELSE 1.0/50 END AS t,
+        |    z0, z1
+        |  FROM five f JOIN full5 USING (l_orderkey)),
+        |chan AS (
+        |  SELECT l_orderkey, 0 AS channel, z0 AS z, t FROM expo
+        |  UNION ALL
+        |  SELECT l_orderkey, 1 AS channel, z1 AS z, t FROM expo)
+        |SELECT l_orderkey, channel,
+        |  round(sum(greatest(0.001, 1 - abs(2*z - 1)) * z / t)
+        |      / sum(greatest(0.001, 1 - abs(2*z - 1))), 6) AS radiance
+        |FROM chan GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+      x17Body(T.lineitem(s, d).filter(col("l_orderkey") % 50 === 0))
     },
 
     // X15: luminance scale x0.9 (lumiadjust.py:14, pcomb -s 0.9) over an
