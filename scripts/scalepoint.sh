@@ -23,6 +23,16 @@
 #   SPARK_GRAFT_SINGLE_RUN_SEC=60 scripts/scalepoint.sh scratch/sf10 100 sf10
 #   SPARK_GRAFT_SKIP_ORACLES=em1_blocked_closest_pair,em2_cosine_near_dup,t11_simhash_near_dup,t7_simhash,t6_near_dup_candidates,t8_jaccard_verify,t10_winnow_fp,s3_binary_meta \
 #   SPARK_GRAFT_SINGLE_RUN_SEC=60 scripts/scalepoint.sh scratch/sf30 300 sf30
+# At sf100 (1000x) use scripts/scalepass.sh (batched dump→check→delete)
+# instead of the check stage here, and extend the skip list with
+# sim3_ivf_topk (its Lloyd-unrolled oracle exhausts DuckDB temp disk),
+# x17_hdr_merge (600M-row window sort: >46 GiB DuckDB spill, past the
+# box), x7/x8/x14 (the 9-12-double-column dumps alone exceed free disk;
+# skipped on BOTH sides via SPARK_GRAFT_SKIP_QUERIES), and
+# w10_gap_sessions_faithful (deliberately single-window; w2 is the
+# scale stand-in). Every skip is covered by a same-pipeline slice twin
+# that IS checked at sf100 — see scripts/sf100chain.sh for the exact
+# invocation that produced the committed sf100 artifacts.
 # (s3_binary_meta joins the list at sf30: its ORACLE must hex() the whole
 # 4.1 GB lineitem blob — an 8.2 GB string, past DuckDB's 4 GiB cap, and
 # DuckDB 1.0 cannot slice a BLOB before hexing. The Spark side runs fine —
