@@ -44,6 +44,42 @@ object Bench {
       .getOrElse(Long.MaxValue)
   }
 
+  /** Largest single parquet part file under the sf dir — the quantity
+    * scan-split sizing must track (splits come from files, so the widest
+    * file bounds scan parallelism).
+    */
+  def corpusMaxFileBytes(sfDir: String): Long = {
+    def mx(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles()).map(_.foldLeft(0L)((a, c) => a.max(mx(c))))
+        .getOrElse(0L)
+    Option(new java.io.File(sfDir).listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet")).foldLeft(0L)(
+        (a, c) => a.max(mx(c))))
+      .getOrElse(0L)
+  }
+
+  /** Size scan splits to the corpus: ~4 waves of `cpus` tasks over the
+    * LARGEST file, clamped to [16 MB, 128 MB (the Spark default)].
+    *
+    * Why not a constant: 16 MB is right for a ~100 MB-per-table point
+    * (the sf1 shape — 128 MB default would scan single-file tables on
+    * ~1 core), but at a 13.7 GB table it makes ~860 tasks whose per-task
+    * fixed cost (file open + footer/row-group metadata decode, which
+    * GROWS with the file's row-group count) dominates: measured at the
+    * sf100 point, the whole scan-bound query family ran ~3-5x slower
+    * under 16 MB than 128 MB (x9 3.40 s -> 1.01 s, a1 2.92 s -> 0.59 s,
+    * identical plans), surfacing as a uniform alpha~1.6 cluster on the
+    * sf30->sf100 trend step while DuckDB scaled linearly. The clamp
+    * keeps every <=sf10 point at exactly the old 16 MB (committed
+    * records stay comparable) and converges to the Spark default at
+    * scale. Env override: SPARK_GRAFT_MAX_PARTITION_BYTES.
+    */
+  def sizedMaxPartitionBytes(sfDir: String, cpus: Int): Long =
+    sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES").map(_.toLong).getOrElse(
+      (corpusMaxFileBytes(sfDir) / (4L * cpus.max(1)))
+        .max(16L << 20).min(128L << 20))
+
   /** Baseline "queries" map, if the file exists for this sf. The file
     * defaults to BASELINE_local.json (sf0.1, the driver's round loop) and
     * is overridable via SPARK_GRAFT_BASELINE for builder-owned scale
@@ -101,11 +137,12 @@ object Bench {
       // sf10-class runs saturate all cores for minutes; the default 120 s
       // heartbeat window logged spurious RPC timeout warnings there
       .config("spark.network.timeout", "600s")
-      // single-parquet-file tables (the sf1 scale point is one ~100 MB
-      // file per table) must still scan in parallel: 16 MB splits give
-      // the 6M-row lineitem ~7 scan tasks instead of 1 under the 128 MB
-      // default. Row groups are ~123k rows, so splits stay effective.
-      .config("spark.sql.files.maxPartitionBytes", String.valueOf(16L << 20))
+      // corpus-sized scan splits (sizedMaxPartitionBytes): small points
+      // need sub-default splits for parallelism, huge single files need
+      // bigger splits or per-task footer decode dominates — rationale on
+      // the method.
+      .config("spark.sql.files.maxPartitionBytes",
+        String.valueOf(sizedMaxPartitionBytes(sfDir, cpus.toInt)))
       // same pin as Verify: declared time queries are zone-independent by
       // construction (ops/Tables.scala normalizes ts to epoch-nanos), but
       // the harness states the precondition rather than assuming it

@@ -21,7 +21,8 @@ object BenchOne {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufP)
       .config("spark.sql.adaptive.enabled", String.valueOf(!tiny))
-      .config("spark.sql.files.maxPartitionBytes", String.valueOf(16L << 20))
+      .config("spark.sql.files.maxPartitionBytes",
+        String.valueOf(Bench.sizedMaxPartitionBytes(sfDir, cpus.toInt)))
       // precondition of graft.ops.Tables (asserted there, set here)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

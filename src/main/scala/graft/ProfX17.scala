@@ -8,6 +8,9 @@ object ProfX17 {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      // fixed 16 MB splits: this profiler only targets the <=sf10 points
+      // whose corpus-sized choice (Bench.sizedMaxPartitionBytes) is
+      // exactly 16 MB
       .config("spark.sql.files.maxPartitionBytes", String.valueOf(16L << 20))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
