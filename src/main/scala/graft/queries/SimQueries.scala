@@ -124,9 +124,10 @@ object SimQueries {
       // so shuffle bytes scale as |label|^2/maxBlock while a task's pair
       // work is maxBlock^2 (~1 GFLOP at 4096 x 64 dims ≈ a ~1 s task).
       // 512 cost sf100 (200k-row labels, m=391) a ~230 GB vector
-      // shuffle; 4096 cuts replication 8x (324.5 -> ~239 s measured —
-      // the remaining time is the inherent ~2.6e13-flop pair compute,
-      // which only the IVF path escapes). Results are
+      // shuffle; 4096 cuts replication 8x (324.5 -> 130.1 s in the
+      // committed BENCH_sf100 — the remaining time is the inherent
+      // ~2.6e13-flop pair compute, which only the IVF path escapes).
+      // Results are
       // partitioning-invariant (BlockedPairSpec pins bucketed == plain
       // self-join).
       S.blockedClosestPair(T.embeddings(s, d),
