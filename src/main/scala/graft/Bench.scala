@@ -80,6 +80,24 @@ object Bench {
       (corpusMaxFileBytes(sfDir) / (4L * cpus.max(1)))
         .max(16L << 20).min(128L << 20))
 
+  /** Size the shuffle width to the corpus: `cpus` partitions up to a
+    * ~64 MB-per-partition corpus, then grow with the data, capped at
+    * 8x cores. Same lesson as sizedMaxPartitionBytes but for the
+    * exchange side: at a fixed 32 partitions the sf100 point puts
+    * ~19M rows through each sort task of a big window/join exchange,
+    * crossing the in-memory sort threshold — measured x17 112 s at 32
+    * partitions vs 67 s at 128 (same plan; the extra partitions just
+    * keep per-task sort volume inside memory). AQE (on at every >64 MB
+    * point) coalesces the width back down for the exchanges that ARE
+    * small, so modest queries do not pay 8x scheduling. On a real
+    * cluster this knob is executor count; on one box it is the only
+    * lever against per-task volume growing linearly with the corpus.
+    */
+  def sizedShufflePartitions(sfDir: String, cpus: Int): Int = {
+    val c = cpus.max(1)
+    (corpusBytes(sfDir) / (64L << 20)).toInt.max(c).min(8 * c)
+  }
+
   /** Baseline "queries" map, if the file exists for this sf. The file
     * defaults to BASELINE_local.json (sf0.1, the driver's round loop) and
     * is overridable via SPARK_GRAFT_BASELINE for builder-owned scale
@@ -128,8 +146,10 @@ object Bench {
     //    at the committed sf1/sf3/sf10 points.
     val tiny = corpusBytes(sfDir) < (64L << 20)
     // dev knob for floor experiments; default = the size-aware choice
+    // (tiny -> 4; scale -> corpus-sized width, see sizedShufflePartitions)
     val shufP = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
-      if (tiny) "4" else cpus)
+      if (tiny) "4"
+      else String.valueOf(sizedShufflePartitions(sfDir, cpus.toInt)))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufP)

@@ -16,7 +16,8 @@ object BenchOne {
     // tiny corpus -> AQE off + 4 shuffle partitions; scale -> AQE + cores
     val tiny = Bench.corpusBytes(sfDir) < (64L << 20)
     val shufP = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
-      if (tiny) "4" else cpus)
+      if (tiny) "4"
+      else String.valueOf(Bench.sizedShufflePartitions(sfDir, cpus.toInt)))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufP)
