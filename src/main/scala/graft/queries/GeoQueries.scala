@@ -36,12 +36,20 @@ object GeoQueries {
   // IEEE arithmetic, so writing the SAME formula on both sides is
   // bit-identical at any scale; the leading 0.0 + folds -0.0 to 0.0.
   // Oracle-side twin: `0.0 + floor((expr) * 1e9 + 0.5) / 1e9`.
-  // PRECONDITION: finite inputs only. Spark's floor(double) casts to
-  // BIGINT, so NaN/±Inf become 0/Long.MaxValue while DuckDB keeps
-  // NaN/Inf — a singular denominator upstream (e.g. wd=0 in x12) would
-  // diverge silently across engines rather than fail loudly. Every
-  // current caller divides by a quantity bounded away from 0.
-  private def r9(c: Column): Column = lit(0.0) + floor(c * 1e9 + 0.5) / 1e9
+  // PRECONDITION: finite inputs only — and ENFORCED loudly (r15 verdict):
+  // Spark's floor(double) casts to BIGINT, so NaN/±Inf become
+  // 0/Long.MaxValue while DuckDB keeps NaN/Inf — a singular denominator
+  // upstream (e.g. wd=0 in x12) would otherwise DIVERGE SILENTLY across
+  // engines. `c - c === 0.0` is true exactly for finite c (IEEE:
+  // Inf-Inf = NaN, NaN-NaN = NaN, and NaN comparisons are false); a null
+  // input stays null (floor(null) = null), matching the unguarded form.
+  // Codegen CSE collapses the repeated `c` subtree, so the guard costs
+  // one subtract+compare per value, not a re-evaluation of the chain.
+  // (private[graft] so the guard itself is testable — GeoSpec feeds Inf.)
+  private[graft] def r9(c: Column): Column =
+    when(c.isNull || (c - c === 0.0), lit(0.0) + floor(c * 1e9 + 0.5) / 1e9)
+      .otherwise(raise_error(concat(
+        lit("r9: non-finite input "), c.cast("string"))).cast("double"))
 
   // x7/x8/x14 bodies over an explicit lineitem source, shared by the
   // full-corpus queries and their `l_orderkey % 50` slice twins below.

@@ -88,4 +88,29 @@ class GeometrySpec extends SparkSpec {
       assert(math.abs(v - want) < 1e-12, s"($i,$j)=$v")
     }
   }
+
+  test("r9 guard: non-finite input fails loudly; finite/null pass through") {
+    // Spark's floor(double)->BIGINT mangles NaN/±Inf where DuckDB keeps
+    // them — the r9 guard (GeoQueries.r9) must turn that silent
+    // cross-engine divergence into a loud raise_error on the Spark side
+    // (the oracle side then never sees a hash-mismatchable row).
+    import spark.implicits._
+    import graft.queries.GeoQueries
+    val ok = Seq[java.lang.Double](1.2345678901, -0.5, null).toDF("x")
+      .select(GeoQueries.r9(col("x")).as("r")).collect()
+    assert(ok(0).getDouble(0) === 1.23456789)
+    assert(ok(1).getDouble(0) === -0.5)
+    assert(ok(2).isNullAt(0), "null input must stay null, not raise")
+    def chainHas(t: Throwable, needle: String): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .exists(e => Option(e.getMessage).exists(_.contains(needle)))
+    for (bad <- Seq(Double.PositiveInfinity, Double.NegativeInfinity,
+        Double.NaN)) {
+      val e = intercept[Exception] {
+        Seq(bad).toDF("x").select(GeoQueries.r9(col("x"))).collect()
+      }
+      assert(chainHas(e, "r9: non-finite input"),
+        s"input $bad: expected a loud r9 raise, got $e")
+    }
+  }
 }
