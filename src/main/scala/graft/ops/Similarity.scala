@@ -153,6 +153,50 @@ object Similarity {
       .select(col(labelCol), col("__best.va").as("va"),
         col("__best.vb").as("vb"), col("__best.cos").as("cos"))
 
+  /** IVF-prefiltered closest pair — the scale route that bends
+    * `blockedClosestPair`'s within-block quadratic (em1's sf30→sf100
+    * α≈1.9, the one line that dominates the bench at the next scale-up).
+    *
+    * Each vector is probed into its `nProbe` nearest IVF cells
+    * (`centroidRanks` over the memoized k-means index); candidate pairs
+    * are exactly the same-label pairs whose probed CELL SETS intersect,
+    * generated by the same bounded triangle-block join as em1 but on the
+    * composite (label, cell) key. Surviving candidates are verified with
+    * the EXACT rounded cosine, and the per-key max_by stays map-side
+    * partial. A pair sharing two probed cells is generated twice; max_by
+    * over identical values makes the duplicate harmless (no DISTINCT
+    * pass needed).
+    *
+    * Work: with k cells and nProbe probes, expected pair flops drop to
+    * ~nProbe²/k of em1's (k=25, nProbe=2 → ~0.16×) while per-task work
+    * stays capped at maxBlock² — the shuffle now carries nProbe copies
+    * of each vector instead of ceil(|label|/maxBlock)+1.
+    *
+    * APPROXIMATE by construction: a label whose true closest pair never
+    * shares a probed cell reports its best CO-CELLED pair instead (or no
+    * row if no pair co-cells) — the declared em3 oracle encodes exactly
+    * these semantics, and the em3-vs-em1 agreement rate is pinned in the
+    * test suite. em1 stays as the exact witness.
+    */
+  def ivfClosestPair(df: DataFrame, labelCol: String, idCol: String,
+      vecCol: String, cents: DataFrame, nProbe: Int = 2,
+      maxBlock: Int = 1024): DataFrame = {
+    val probed = centroidRanks(df, vecCol, idCol, cents, nProbe)
+      // composite block key as a struct (not a string concat — labels
+      // containing a separator char would alias): blockedPairs only ever
+      // groups/joins/hashes the key column, all struct-safe
+      .withColumn("__cl",
+        struct(col(labelCol).as("l"), col("c_label").as("c")))
+      .select(col("__cl"), col(idCol), col(vecCol))
+    blockedPairs(probed, "__cl", idCol, vecCol, maxBlock)
+      .groupBy(col("__cl.l").as(labelCol))
+      .agg(max_by(
+        struct(col("va"), col("vb"), col("cos")),
+        struct(col("cos"), -col("va"), -col("vb"))).as("__best"))
+      .select(col(labelCol), col("__best.va").as("va"),
+        col("__best.vb").as("vb"), col("__best.cos").as("cos"))
+  }
+
   /** IVF-style centroids: per-partition (label) column-wise mean of the
     * embedding, components rounded to `roundTo` decimals so that assignment
     * decisions are stable across engines/agg orders. Returns

@@ -243,6 +243,142 @@ object SimQueries {
         .orderBy("vec_id")
     },
 
+    // IVF-prefiltered closest pair — em1's scale route (em1 stays as the
+    // exact witness): probe each vector into its 2 nearest of the 25
+    // k-means cells (same memoized index as sim3), generate candidate
+    // pairs only where same-label vectors CO-CELL, verify with the exact
+    // rounded cosine. ~nProbe²/k ≈ 0.16× of em1's pair flops; a label
+    // whose true closest pair never shares a probed cell reports its
+    // best co-celled pair (or no row) — the oracle below encodes exactly
+    // these semantics (Lloyd unrolled like sim3's, then probe-2 pair
+    // join); em3-vs-em1 agreement is pinned in the test suite.
+    QueryDef("em3_ivf_closest_pair",
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id AS c_label, list_transform(v, x -> round(x, 3)) AS c
+        |  FROM e ORDER BY vec_id LIMIT 25),
+        |a1 AS (
+        |  SELECT e.vec_id, e.v, c.c_label
+        |  FROM e CROSS JOIN seeds c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6), c.c_label) = 1),
+        |m1 AS (
+        |  SELECT a.c_label, pos, round(avg(a.v[pos]), 3) AS cv
+        |  FROM a1 a CROSS JOIN (SELECT unnest(range(1, 65)) AS pos)
+        |  GROUP BY a.c_label, pos),
+        |c1 AS (SELECT c_label, list(cv ORDER BY pos) AS c FROM m1 GROUP BY c_label),
+        |a2 AS (
+        |  SELECT e.vec_id, e.v, c.c_label
+        |  FROM e CROSS JOIN c1 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6), c.c_label) = 1),
+        |m2 AS (
+        |  SELECT a.c_label, pos, round(avg(a.v[pos]), 3) AS cv
+        |  FROM a2 a CROSS JOIN (SELECT unnest(range(1, 65)) AS pos)
+        |  GROUP BY a.c_label, pos),
+        |c2 AS (SELECT c_label, list(cv ORDER BY pos) AS c FROM m2 GROUP BY c_label),
+        |a3 AS (
+        |  SELECT e.vec_id, e.v, c.c_label
+        |  FROM e CROSS JOIN c2 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6), c.c_label) = 1),
+        |m3 AS (
+        |  SELECT a.c_label, pos, round(avg(a.v[pos]), 3) AS cv
+        |  FROM a3 a CROSS JOIN (SELECT unnest(range(1, 65)) AS pos)
+        |  GROUP BY a.c_label, pos),
+        |c3 AS (SELECT c_label, list(cv ORDER BY pos) AS c FROM m3 GROUP BY c_label),
+        |pr AS (
+        |  SELECT e.vec_id, e.label, e.v, c.c_label AS cell
+        |  FROM e CROSS JOIN c3 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6), c.c_label) <= 2),
+        |p AS (
+        |  SELECT a.label AS label, a.vec_id AS va, b.vec_id AS vb,
+        |    round(
+        |      list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))),
+        |      6) AS cos
+        |  FROM pr a JOIN pr b
+        |    ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id),
+        |r AS (SELECT label, va, vb, cos,
+        |        row_number() OVER (PARTITION BY label ORDER BY cos DESC, va, vb) AS rk
+        |      FROM p)
+        |SELECT label, va, vb, cos FROM r WHERE rk = 1 ORDER BY label""") { (s, d) =>
+      S.ivfClosestPair(T.embeddings(s, d),
+          "label", "vec_id", "embedding",
+          sim3Index(s, d), nProbe = 2, maxBlock = 4096)
+        .orderBy("label")
+    },
+
+    // em3's keyed-slice twin (same `vec_id % 40 = 0` slice + slice index
+    // as the sim3/em1 twins): keeps the IVF-prefiltered pipeline
+    // DuckDB-checked at scale points where the full Lloyd-unrolled
+    // oracle is single-node-infeasible.
+    QueryDef("em3_slice_ivf_closest_pair",
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id % 40 = 0),
+        |seeds AS (
+        |  SELECT vec_id AS c_label, list_transform(v, x -> round(x, 3)) AS c
+        |  FROM e ORDER BY vec_id LIMIT 25),
+        |a1 AS (
+        |  SELECT e.vec_id, e.v, c.c_label
+        |  FROM e CROSS JOIN seeds c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6), c.c_label) = 1),
+        |m1 AS (
+        |  SELECT a.c_label, pos, round(avg(a.v[pos]), 3) AS cv
+        |  FROM a1 a CROSS JOIN (SELECT unnest(range(1, 65)) AS pos)
+        |  GROUP BY a.c_label, pos),
+        |c1 AS (SELECT c_label, list(cv ORDER BY pos) AS c FROM m1 GROUP BY c_label),
+        |a2 AS (
+        |  SELECT e.vec_id, e.v, c.c_label
+        |  FROM e CROSS JOIN c1 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6), c.c_label) = 1),
+        |m2 AS (
+        |  SELECT a.c_label, pos, round(avg(a.v[pos]), 3) AS cv
+        |  FROM a2 a CROSS JOIN (SELECT unnest(range(1, 65)) AS pos)
+        |  GROUP BY a.c_label, pos),
+        |c2 AS (SELECT c_label, list(cv ORDER BY pos) AS c FROM m2 GROUP BY c_label),
+        |a3 AS (
+        |  SELECT e.vec_id, e.v, c.c_label
+        |  FROM e CROSS JOIN c2 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6), c.c_label) = 1),
+        |m3 AS (
+        |  SELECT a.c_label, pos, round(avg(a.v[pos]), 3) AS cv
+        |  FROM a3 a CROSS JOIN (SELECT unnest(range(1, 65)) AS pos)
+        |  GROUP BY a.c_label, pos),
+        |c3 AS (SELECT c_label, list(cv ORDER BY pos) AS c FROM m3 GROUP BY c_label),
+        |pr AS (
+        |  SELECT e.vec_id, e.label, e.v, c.c_label AS cell
+        |  FROM e CROSS JOIN c3 c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6), c.c_label) <= 2),
+        |p AS (
+        |  SELECT a.label AS label, a.vec_id AS va, b.vec_id AS vb,
+        |    round(
+        |      list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))),
+        |      6) AS cos
+        |  FROM pr a JOIN pr b
+        |    ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id),
+        |r AS (SELECT label, va, vb, cos,
+        |        row_number() OVER (PARTITION BY label ORDER BY cos DESC, va, vb) AS rk
+        |      FROM p)
+        |SELECT label, va, vb, cos FROM r WHERE rk = 1 ORDER BY label""") { (s, d) =>
+      S.ivfClosestPair(
+          T.embeddings(s, d).filter(col("vec_id") % 40 === 0),
+          "label", "vec_id", "embedding",
+          sim3SliceIndex(s, d), nProbe = 2, maxBlock = 4096)
+        .orderBy("label")
+    },
+
     // IVF pruned top-k over k-means cells: probe the 8 nearest of 25
     // cells per query (~32% of candidates scanned), rank only their
     // members. This is the plan that survives 100 TB: broadcast
