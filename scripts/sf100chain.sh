@@ -8,8 +8,9 @@ cd /root/repo
 # Oracle-side skips (documented single-node oracle scale limits, each
 # covered by a slice twin at this scale + full rows at sf1/sf3):
 # the 8 from sf30's list + sim3 (ENOSPC'd DuckDB temp disk at sf100 —
-# covered by the new sim3_slice_ivf_topk).
-SKIP_O="em1_blocked_closest_pair,em2_cosine_near_dup,s3_binary_meta,t6_near_dup_candidates,t7_simhash,t8_jaccard_verify,t10_winnow_fp,t11_simhash_near_dup,sim3_ivf_topk,w10_gap_sessions_faithful,x17_hdr_merge,x7_euler_rotation,x8_rodrigues,x14_se3_inverse"
+# covered by the new sim3_slice_ivf_topk) + em3 (same Lloyd-unrolled
+# oracle shape as sim3; covered by em3_slice_ivf_closest_pair).
+SKIP_O="em1_blocked_closest_pair,em2_cosine_near_dup,em3_ivf_closest_pair,s3_binary_meta,t6_near_dup_candidates,t7_simhash,t8_jaccard_verify,t10_winnow_fp,t11_simhash_near_dup,sim3_ivf_topk,w10_gap_sessions_faithful,x17_hdr_merge,x7_euler_rotation,x8_rodrigues,x14_se3_inverse"
 # Spark-side skip: w10 is the deliberately-faithful single-window form
 # (one task sorts the whole events table); w2 is its scale stand-in.
 SKIP_Q="w10_gap_sessions_faithful,x17_hdr_merge,x7_euler_rotation,x8_rodrigues,x14_se3_inverse"
@@ -31,7 +32,7 @@ for i in 1 2; do
 done
 
 echo "== [chain $(date +%T)] baseline =="
-BSKIP="em1_blocked_closest_pair,em2_cosine_near_dup,s3_binary_meta,t6_near_dup_candidates,t7_simhash,t8_jaccard_verify,t10_winnow_fp,t11_simhash_near_dup,sim3_ivf_topk,x17_hdr_merge,x7_euler_rotation,x8_rodrigues,x14_se3_inverse"
+BSKIP="em1_blocked_closest_pair,em2_cosine_near_dup,em3_ivf_closest_pair,s3_binary_meta,t6_near_dup_candidates,t7_simhash,t8_jaccard_verify,t10_winnow_fp,t11_simhash_near_dup,sim3_ivf_topk,x17_hdr_merge,x7_euler_rotation,x8_rodrigues,x14_se3_inverse"
 SPARK_GRAFT_SKIP_ORACLES="$BSKIP" SPARK_GRAFT_SINGLE_RUN_SEC=60 \
 SPARK_GRAFT_DUCK_TMP_CAP=30GB \
   python3 scripts/baseline.py scratch/sf100 scratch/verify_sf100 \

@@ -45,6 +45,12 @@ object Dedup {
     * (every signature unique) degenerates to the doc-level plan plus
     * one fixed-width groupBy and two id joins.
     */
+  /** Test seam: counts rep-level path selections (adaptive decision
+    * observability — see the adaptive note in [[nearDupCandidates]]).
+    */
+  private[graft] val repPathCount =
+    new java.util.concurrent.atomic.AtomicLong
+
   def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -56,13 +62,34 @@ object Dedup {
       .filter(size(col("tk")) >= k)
       .select(col(idCol), TextOps.minhashSignatureFast(
         TextOps.shinglesFast(col("tk"), k), numHashes).as("sg")))
-    val (docMap, reps) = groupReps(keyed, idCol, "sg", Seq.empty)
-    val setPairs = bandPairs(
-      reps.select(col("rep").as(idCol), col("sg")), idCol, "sg",
-      bands, numHashes / bands)
-    expandSetPairs(docMap, idCol, setPairs
-      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b")),
-      Seq.empty)
+    // ADAPTIVE path choice (a cost-based decision, like AQE's): the
+    // signature-level rewrite only pays when signatures actually repeat.
+    // One cheap aggregate over the cached scan estimates the distinct-
+    // signature fraction; on the adversarial all-unique corpus
+    // (scripts/datagen_lowdup.py — measured 8.9 s vs the dup-heavy
+    // shape's 5.4 s at 1.5M docs, a 1.64x penalty that was pure
+    // groupReps overhead) the doc-level banding runs directly, while any
+    // real dup-heavy crawl shape keeps the set-level plan. Both paths
+    // are row-identical (pinned in OpsSpec), so the decision can depend
+    // on data without affecting results. The 0.8 threshold is
+    // deliberately coarse — approx_count_distinct's ~2% error cannot
+    // flip a corpus that is meaningfully on either side, and near the
+    // boundary both plans cost about the same.
+    val st = keyed.agg(count(lit(1)).as("n"),
+      approx_count_distinct(xxhash64(col("sg"))).as("nd")).head()
+    val (n, nd) = (st.getLong(0), st.getLong(1))
+    if (nd > n * 0.8) {
+      bandPairs(keyed, idCol, "sg", bands, numHashes / bands)
+    } else {
+      repPathCount.incrementAndGet()
+      val (docMap, reps) = groupReps(keyed, idCol, "sg", Seq.empty)
+      val setPairs = bandPairs(
+        reps.select(col("rep").as(idCol), col("sg")), idCol, "sg",
+        bands, numHashes / bands)
+      expandSetPairs(docMap, idCol, setPairs
+        .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b")),
+        Seq.empty)
+    }
   }
 
   /** Candidate generation from a precomputed shingle column — lets a

@@ -178,6 +178,33 @@ class DedupSpec extends SparkSpec {
       "fixture lost its intra-cluster pairs")
   }
 
+  test("adaptive near-dup path: rep-level on dup-heavy, doc-level on unique") {
+    import spark.implicits._
+    // dup-heavy corpus → the set-level (groupReps) plan
+    val before = Dedup.repPathCount.get()
+    Dedup.nearDupCandidates(dupHeavyCorpus, "doc_id", "text").count()
+    assert(Dedup.repPathCount.get() == before + 1,
+      "dup-heavy corpus must take the rep-level path")
+    // all-unique corpus (distinct signatures ≈ doc count — the
+    // datagen_lowdup.py worst case) → doc-level banding directly, and
+    // the result must equal the doc-level reference exactly
+    val uniq = (0 until 300).map { i =>
+      (i.toLong, (0 until 12).map(j => s"w${i}x$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val b2 = Dedup.repPathCount.get()
+    val got = Dedup.nearDupCandidates(uniq, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(Dedup.repPathCount.get() == b2,
+      "all-unique corpus must take the doc-level path")
+    val sh = uniq
+      .select(col("doc_id"), TextOps.tokensLower(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), TextOps.shinglesFast(col("tk"), 3).as("shingles"))
+    val ref = Dedup.nearDupCandidatesFromShingles(sh, "doc_id", "shingles")
+      .as[(Long, Long)].collect().toSet
+    assert(got == ref, s"missing=${ref -- got} extra=${got -- ref}")
+  }
+
   test("jaccardVerifiedPairs equals per-pair exact Jaccard over doc-level candidates") {
     val docs = dupHeavyCorpus
     val got = Dedup.jaccardVerifiedPairs(docs, "doc_id", "text")
