@@ -16,6 +16,12 @@
 # oracle_sql.json persists in <outDir>; per-batch results append to
 # <outDir>/scalepass_results.txt, and already-passed queries (recorded
 # there) are skipped on re-run, so the sweep is resumable.
+#
+# Forensics path DRILLED (round 16): a deliberately corrupted t4 oracle
+# (dup_count+1) run through this script at sf0.001 exited 1, recorded
+# the FAIL line with sample diff rows, and left the Spark-side dump at
+# <outDir>/t4_exact_dedup.failed — the keep-failed-dumps branch below
+# has now seen a real failure, not just code review.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
