@@ -238,29 +238,59 @@ object Dedup {
       .select(col(idCol),
         array_sort(transform(col("shset"), s => xxhash64(s))).as("hs"),
         TextOps.minhashSignatureFast(col("shset"), numHashes).as("sg")))
-    val (docMap, reps) = groupReps(keyed, idCol, "hs", Seq("sg"))
-    val setCand = bandPairs(
-        reps.select(col("rep").as(idCol), col("sg")), idCol, "sg",
-        bands, numHashes / bands)
-      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"))
-    val hashed = reps.select(col("rep"), col("hs"),
-      size(col("hs")).as("n"))
     val ninter = size(array_intersect(col("ha"), col("hb")))
-    // verify joins unhinted: the build side is distinct-set rows (AQE
-    // broadcasts it when the corpus is dup-heavy, shuffles when not);
-    // the doc-level predecessor pinned shuffle_hash here because its
-    // build side was 32M candidate pairs × array payloads that a static
-    // size underestimate once chose to broadcast — that subtree no
-    // longer exists.
-    val setJac = setCand
-      .join(hashed.select(col("rep").as("rep_a"), col("hs").as("ha"),
-        col("n").as("na")), "rep_a")
-      .join(hashed.select(col("rep").as("rep_b"), col("hs").as("hb"),
-        col("n").as("nb")), "rep_b")
-      .select(col("rep_a"), col("rep_b"),
-        round(ninter.cast("double") /
-          (col("na") + col("nb") - ninter), 6).as("jaccard"))
-    expandSetPairs(docMap, idCol, setJac, Seq(lit(1.0d).as("jaccard")))
+    // ADAPTIVE like nearDupCandidates, but keyed on the exact shingle-set
+    // hash array: the set-level rewrite's groupBy shuffles the FULL ~50-
+    // long[] `hs` payload per doc, which on an all-unique corpus
+    // (distinct sets ≈ doc count, scripts/datagen_lowdup.py) buys
+    // nothing — candidates are rare there, so the doc-level plan joins
+    // the heavy arrays only onto the handful of surviving band pairs.
+    // Dup-heavy corpora keep the set-level plan (intersect once per
+    // distinct set pair; 32M answer pairs at sf10 never carry arrays).
+    // Both paths are row-identical: identical sets collide in every
+    // band, so the doc-level intersect sees them and yields exactly the
+    // 1.0 the set-level path emits by construction (pinned in DedupSpec).
+    val st = keyed.agg(count(lit(1)).as("n"),
+      approx_count_distinct(xxhash64(col("hs"))).as("nd")).head()
+    val (n, nd) = (st.getLong(0), st.getLong(1))
+    if (nd > n * 0.8) {
+      val cand = bandPairs(keyed.select(col(idCol), col("sg")),
+        idCol, "sg", bands, numHashes / bands)
+      val hashed = keyed.select(col(idCol), col("hs"),
+        size(col("hs")).as("n"))
+      cand
+        .join(hashed.select(col(idCol).as("doc_a"), col("hs").as("ha"),
+          col("n").as("na")), "doc_a")
+        .join(hashed.select(col(idCol).as("doc_b"), col("hs").as("hb"),
+          col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(ninter.cast("double") /
+            (col("na") + col("nb") - ninter), 6).as("jaccard"))
+    } else {
+      repPathCount.incrementAndGet()
+      val (docMap, reps) = groupReps(keyed, idCol, "hs", Seq("sg"))
+      val setCand = bandPairs(
+          reps.select(col("rep").as(idCol), col("sg")), idCol, "sg",
+          bands, numHashes / bands)
+        .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"))
+      val hashed = reps.select(col("rep"), col("hs"),
+        size(col("hs")).as("n"))
+      // verify joins unhinted: the build side is distinct-set rows (AQE
+      // broadcasts it when the corpus is dup-heavy, shuffles when not);
+      // the doc-level predecessor pinned shuffle_hash here because its
+      // build side was 32M candidate pairs × array payloads that a
+      // static size underestimate once chose to broadcast — that
+      // subtree no longer exists.
+      val setJac = setCand
+        .join(hashed.select(col("rep").as("rep_a"), col("hs").as("ha"),
+          col("n").as("na")), "rep_a")
+        .join(hashed.select(col("rep").as("rep_b"), col("hs").as("hb"),
+          col("n").as("nb")), "rep_b")
+        .select(col("rep_a"), col("rep_b"),
+          round(ninter.cast("double") /
+            (col("na") + col("nb") - ninter), 6).as("jaccard"))
+      expandSetPairs(docMap, idCol, setJac, Seq(lit(1.0d).as("jaccard")))
+    }
   }
 
   /** SimHash near-duplicate pairs: 64-bit token-level SimHash → `bands`

@@ -203,6 +203,34 @@ class DedupSpec extends SparkSpec {
     val ref = Dedup.nearDupCandidatesFromShingles(sh, "doc_id", "shingles")
       .as[(Long, Long)].collect().toSet
     assert(got == ref, s"missing=${ref -- got} extra=${got -- ref}")
+
+    // t8's twin decision: jaccardVerifiedPairs on the same corpora.
+    // Dup-heavy → rep path (counter moves); all-unique → doc path, and
+    // the doc-level Jaccard must equal the Scala-side exact reference
+    // per candidate pair.
+    val b3 = Dedup.repPathCount.get()
+    val dupJac = Dedup.jaccardVerifiedPairs(dupHeavyCorpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(Dedup.repPathCount.get() == b3 + 1,
+      "dup-heavy jaccardVerifiedPairs must take the rep-level path")
+    assert(dupJac.exists(_._3 == 1.0), "fixture lost its exact-dup pairs")
+    val b4 = Dedup.repPathCount.get()
+    val uniqJac = Dedup.jaccardVerifiedPairs(uniq, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(Dedup.repPathCount.get() == b4,
+      "all-unique jaccardVerifiedPairs must take the doc-level path")
+    assert(uniqJac.keySet == ref, "doc-level pair set drifted from candidates")
+    val sets = uniq.select(col("doc_id"),
+        array_distinct(TextOps.shinglesFast(
+          TextOps.tokensLower(col("text")), 3)).as("shset"))
+      .as[(Long, Seq[String])].collect().toMap
+    uniqJac.foreach { case ((a, b), j) =>
+      val (sa, sb) = (sets(a).toSet, sets(b).toSet)
+      val want = BigDecimal(sa.intersect(sb).size.toDouble / sa.union(sb).size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(j - want) < 1e-9, s"pair ($a,$b): got $j want $want")
+    }
   }
 
   test("jaccardVerifiedPairs equals per-pair exact Jaccard over doc-level candidates") {
