@@ -203,6 +203,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("em3: IVF prefilter keeps bounded bucket joins and a partial max") {
+    val p = plan("em3_ivf_closest_pair")
+    // candidate pairs come from the triangle-block equi-join on the
+    // composite (label, cell) key — never an all-pairs product (the
+    // join's build-vs-shuffle choice is size-dependent and left to the
+    // planner/AQE: broadcast at tiny SF, shuffled at scale)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"em3 fell back to an all-pairs product:\n${p.take(1200)}")
+    // the closest-pair reduction must partial-aggregate map-side: each
+    // triangle task reduces its own pair slice to one candidate BEFORE
+    // the exchange on the label (the property that keeps shuffle volume
+    // ∝ tasks, not pairs)
+    assert(p.contains("partial_max_by"),
+      s"em3 lost its map-side partial max_by:\n${p.take(1200)}")
+    val exIdx = p.indexOf("Exchange hashpartitioning(_groupingexpression")
+    assert(exIdx >= 0 && p.indexOf("partial_max_by") > exIdx,
+      s"partial max_by is not below the label exchange:\n${p.take(1200)}")
+  }
+
   test("em2: canonical dedup is a codegen'd hash aggregate with map-side partial") {
     val p = plan("em2_cosine_near_dup")
     // the min(va)-per-vb reduction must be a plain HashAggregate (codegen,
