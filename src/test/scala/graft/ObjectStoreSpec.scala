@@ -58,6 +58,21 @@ class ObjectStoreSpec extends SparkSpec {
       ("c.txt", 5L, "hell".getBytes("UTF-8").toSeq)))
   }
 
+  test("a declared query runs unchanged on the object-store scheme") {
+    store // force registration
+    // the s1 dir-scan query takes the corpus dir as an opaque path and
+    // projects path-prefix-free columns, so the SAME QueryDef must
+    // return row-identical results whether the corpus is addressed via
+    // file:// or an object-store scheme — the property that lets a user
+    // point the engine at s3a://bucket/corpus with no code change
+    val q = SparkEntry.queries("s1_binary_scan")
+    val viaFile = q(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    val viaStore = q(spark, "graftmock://bucket/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    assert(viaStore.nonEmpty && viaStore == viaFile)
+  }
+
   test("a task-side fresh Configuration fails loudly (the fixed bug)") {
     store // force registration + fixture creation
     // the pre-fix binaryPrefixScan resolved `new Configuration()` per
