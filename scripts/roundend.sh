@@ -21,25 +21,40 @@
 # Safe to run any time; commits only when something is staged.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+shopt -s nullglob
 
-# pair the full bench JSON with the current round's correctness artifact
-n=$(ls CORRECTNESS_r*.json 2>/dev/null \
-  | sed 's/CORRECTNESS_r0*\([0-9]*\)\.json/\1/' | sort -n | tail -1)
-if [ -n "${n:-}" ] && [ -s scratch/bench_last.json ]; then
-  src_c=$(ls CORRECTNESS_r*.json | sort | tail -1)
-  # guard against mislabeling: only pair bench_last with round N while
-  # CORRECTNESS_rN is still UNTRACKED (i.e. the driver just wrote it
-  # this round-end). Once it is committed (the next round's dev work),
-  # a builder-run bench at some other SF must not overwrite round N's
-  # record — BENCH_full would carry the wrong round's numbers.
-  if ! git ls-files --error-unmatch "$src_c" >/dev/null 2>&1; then
-    tgt=$(printf 'BENCH_full_r%02d.json' "$n")
-    cp scratch/bench_last.json "$tgt"
+# pair the full bench JSON with the current round's correctness artifact.
+# nullglob + array: an empty match must mean "skip", not a set -e abort.
+cfiles=(CORRECTNESS_r*.json)
+if [ "${#cfiles[@]}" -gt 0 ] && [ -s scratch/bench_last.json ]; then
+  # numeric max round; src_c derived from the SAME numeric pick so the
+  # untracked-guard and the label can never disagree (lexicographic
+  # sort would pick r99 over r100)
+  n=$(printf '%s\n' "${cfiles[@]}" \
+    | sed 's/CORRECTNESS_r0*\([0-9]*\)\.json/\1/' | sort -n | tail -1)
+  src_c=$(printf 'CORRECTNESS_r%02d.json' "$n")
+  [ -e "$src_c" ] || src_c=$(printf 'CORRECTNESS_r%d.json' "$n")
+  # two guards against mislabeling:
+  #  (a) only pair while CORRECTNESS_rN is still UNTRACKED (the driver
+  #      just wrote it this round-end); once committed, a builder-run
+  #      bench must not overwrite round N's record;
+  #  (b) only pair a bench_last.json whose "sf" field is the driver's
+  #      round corpus (sf0.1) — a builder chain that redirects
+  #      SPARK_GRAFT_BENCH_OUT leaves a STALE bench_last behind, and its
+  #      Bench-end invocation of this script must not commit that stale
+  #      file under the fresh round number.
+  if ! git ls-files --error-unmatch "$src_c" >/dev/null 2>&1 \
+      && grep -q '"sf":"[^"]*sf0\.1"' scratch/bench_last.json; then
+    cp scratch/bench_last.json "$(printf 'BENCH_full_r%02d.json' "$n")"
   fi
 fi
 
-git add -f BENCH_r*.json BENCH_full_r*.json CORRECTNESS_r*.json \
-  LEAKCHECK.json 2>/dev/null || true
+# stage per-pattern: one unmatched glob in a combined `git add` aborts
+# the WHOLE add (exit 128, nothing staged) — each pattern must fail alone
+for f in BENCH_r*.json BENCH_full_r*.json CORRECTNESS_r*.json \
+    LEAKCHECK.json; do
+  [ -e "$f" ] && git add -f "$f"
+done
 if ! git diff --cached --quiet; then
   git commit -m "Record round artifacts (bench/correctness/leakcheck)"
 else

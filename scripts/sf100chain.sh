@@ -40,6 +40,8 @@ SPARK_GRAFT_DUCK_TMP_CAP=30GB \
 echo "== [chain $(date +%T)] baseline exit $? =="
 
 echo "== [chain $(date +%T)] bench on HEAD =="
+# a crashed rerun must not silently record a PREVIOUS run's out file
+rm -f scratch/bench_sf100_head.json
 SPARK_GRAFT_SF_DIR=scratch/sf100 SPARK_GRAFT_BASELINE=BASELINE_sf100.json \
 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g SPARK_GRAFT_SKIP_QUERIES="w10_gap_sessions_faithful" \
 SPARK_GRAFT_BENCH_OUT=scratch/bench_sf100_head.json \

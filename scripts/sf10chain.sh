@@ -46,6 +46,8 @@ SPARK_GRAFT_DUCK_TMP_CAP=30GB \
 echo "== [chain $(date +%T)] baseline exit $? =="
 
 echo "== [chain $(date +%T)] bench on HEAD =="
+# a crashed rerun must not silently record a PREVIOUS run's out file
+rm -f scratch/bench_sf10_head.json
 SPARK_GRAFT_SF_DIR=scratch/sf10 SPARK_GRAFT_BASELINE=BASELINE_sf10.json \
 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=32g \
 SPARK_GRAFT_BENCH_OUT=scratch/bench_sf10_head.json \

@@ -202,16 +202,23 @@ object Dedup {
   }
 
   /** The full two-stage near-dup pipeline — banded-MinHash candidates
-    * scored with EXACT distinct-shingle-set Jaccard — at set level:
-    * candidates and the per-pair sorted-hash array intersect run once
-    * per distinct set (pair), and [[expandSetPairs]] recovers doc pairs
-    * (intra-set pairs are Jaccard 1.0 by definition). Output:
-    * (doc_a, doc_b, jaccard), doc_a < doc_b, unordered-unique.
+    * scored with EXACT distinct-shingle-set Jaccard. ADAPTIVE like
+    * [[nearDupCandidates]]: on a dup-heavy corpus the intersect runs
+    * once per DISTINCT shingle-set pair and [[expandSetPairs]] recovers
+    * doc pairs (intra-set pairs are Jaccard 1.0 by definition); on an
+    * all-unique corpus the set-level groupBy would shuffle the full
+    * hash-array payload for nothing, so candidates band at doc level
+    * and the arrays join only onto surviving pairs. Output either way:
+    * (doc_a, doc_b, jaccard), doc_a < doc_b, unordered-unique —
+    * row-identical across paths (pinned in DedupSpec).
     *
-    * Both verify-side joins stay hinted shuffle_hash: set-pair volume
-    * is corpus-dependent and a static-planner size underestimate once
-    * chose to broadcast the doc-level intersection subtree and blew the
-    * driver heap (see git history at the doc-level predecessor).
+    * Verify-side joins are UNhinted in both paths: the array-carrying
+    * side is distinct-set rows (rep path) or the cached doc scan (doc
+    * path), and AQE's runtime sizes pick broadcast vs shuffle. The
+    * historical driver-heap blowup that once forced a shuffle_hash pin
+    * came from a 32M-candidate-pair × array-payload BUILD side — a
+    * subtree that no longer exists in either path (candidate pairs are
+    * always the streaming side or a few hundred rows).
     */
   def jaccardVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 8, bands: Int = 4): DataFrame = {

@@ -127,14 +127,18 @@ class PhotoChessboardSpec extends SparkSpec {
     // genuine camera files (progressive/4:2:0 variations the synthetic
     // PNG fixtures never exercise)
     assume(Files.exists(photo.getParent), "fixture dir missing")
-    val files = Files.list(photo.getParent).toArray.map(_.toString)
-      .filter(_.endsWith(".jpg")).sorted
+    val stream = Files.list(photo.getParent)
+    val files =
+      try stream.toArray.map(_.toString).filter(_.endsWith(".jpg")).sorted
+      finally stream.close()
     assert(files.nonEmpty)
     files.foreach { f =>
       val bytes = Files.readAllBytes(Paths.get(f))
       assert(Codecs.isLdrImage(bytes), f)
       val meta = Codecs.decode(f, bytes)
       val (w, h, gray) = Codecs.decodeGrayLdr(f, bytes)
+      assert(meta.width == w && meta.height == h,
+        s"$f: decode meta ${meta.width}x${meta.height} vs gray ${w}x$h")
       assert(w > 0 && h > 0 && gray.length == w * h, f)
       assert(gray.forall(v => v >= 0 && v <= 255), f)
     }
