@@ -51,12 +51,20 @@ fi
 
 # stage per-pattern: one unmatched glob in a combined `git add` aborts
 # the WHOLE add (exit 128, nothing staged) — each pattern must fail alone
+artifacts=()
 for f in BENCH_r*.json BENCH_full_r*.json CORRECTNESS_r*.json \
     LEAKCHECK.json; do
-  [ -e "$f" ] && git add -f "$f"
+  [ -e "$f" ] && git add -f "$f" && artifacts+=("$f")
 done
-if ! git diff --cached --quiet; then
-  git commit -m "Record round artifacts (bench/correctness/leakcheck)"
+# Commit ONLY the artifact pathspecs: Bench invokes this script
+# automatically at the end of every run, and a bare `git commit` would
+# silently sweep anything a user had previously staged into an
+# artifact-labeled commit. The guard checks the same paths, so unrelated
+# staged changes neither trigger nor join the commit.
+if [ "${#artifacts[@]}" -gt 0 ] \
+    && ! git diff --cached --quiet -- "${artifacts[@]}"; then
+  git commit -m "Record round artifacts (bench/correctness/leakcheck)" \
+    -- "${artifacts[@]}"
 else
   echo "no round artifacts to commit"
 fi

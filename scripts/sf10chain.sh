@@ -37,6 +37,13 @@ for i in 1 2; do
   echo "== [chain $(date +%T)] scalepass pass $i exit $rc =="
   [ "$rc" = "0" ] && break
 done
+# hard stop when every scalepass attempt failed: perf records must never
+# be refreshed for a corpus whose correctness sweep never passed (the
+# script runs without -e, so the loop alone cannot abort the chain)
+if [ "$rc" != "0" ]; then
+  echo "== [chain $(date +%T)] SCALEPASS FAILED after retries — aborting before baseline/bench =="
+  exit 1
+fi
 
 echo "== [chain $(date +%T)] baseline =="
 SPARK_GRAFT_SKIP_ORACLES="$SKIP_O" SPARK_GRAFT_SINGLE_RUN_SEC=60 \

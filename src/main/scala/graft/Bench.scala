@@ -304,19 +304,44 @@ object Bench {
     // bench → judge, so by now this round's CORRECTNESS_r{N}.json exists
     // untracked; roundend.sh commits it (plus LEAKCHECK and the full
     // bench JSON as BENCH_full_r{N}.json) before the judge reads the
-    // tree. Best-effort — a missing script/git must never fail a bench.
+    // tree. Best-effort — a missing script/git must never fail a bench,
+    // and a HUNG git (stale index.lock, credential prompt) must not wedge
+    // the driver either: output goes to a file (no unbounded pipe read)
+    // and the child is force-killed after 60 s.
     try {
       val script = new java.io.File("scripts/roundend.sh")
       if (script.isFile) {
+        val logF = new java.io.File("scratch/roundend_last.log")
+        Option(logF.getParentFile).foreach(_.mkdirs())
         val p = new ProcessBuilder("bash", script.getPath)
-          .redirectErrorStream(true).start()
-        val out = new String(p.getInputStream.readAllBytes, "UTF-8")
-        p.waitFor()
-        System.err.println(s"[bench] roundend.sh: ${out.trim}")
+          .redirectErrorStream(true)
+          .redirectOutput(logF)
+          .start()
+        val done = p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) {
+          p.destroyForcibly()
+          System.err.println("[bench] roundend.sh timed out after 60s (killed)")
+        } else {
+          val out = new String(
+            java.nio.file.Files.readAllBytes(logF.toPath), "UTF-8")
+          System.err.println(s"[bench] roundend.sh: ${out.trim}")
+        }
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] roundend.sh failed (ignored): $e")
     }
+    // LAST stdout line, deliberately short: the driver's round capture
+    // keeps only the TAIL of stdout, which on big query counts truncates
+    // the full JSON line above from the FRONT — exactly where its
+    // headline "value" sits (BENCH_r13/14/16 committed "parsed": null).
+    // A compact trailing summary survives any tail truncation, so the
+    // driver's own capture is self-sufficient even without
+    // BENCH_full_r{N}.json.
+    val vsTotal =
+      if (ratios.isEmpty) ""
+      else s""","vs_baseline_total":${num(
+        ratios.map(_._2).sum / ratios.map(_._3).sum, 3)}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"$vsTotal,"full":"$outPath"}""")
   }
 }

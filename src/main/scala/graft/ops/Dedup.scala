@@ -72,11 +72,12 @@ object Dedup {
     // real dup-heavy crawl shape keeps the set-level plan. Both paths
     // are row-identical (pinned in OpsSpec), so the decision can depend
     // on data without affecting results. The 0.8 threshold is
-    // deliberately coarse — approx_count_distinct's ~2% error cannot
-    // flip a corpus that is meaningfully on either side, and near the
-    // boundary both plans cost about the same.
+    // deliberately coarse — with an explicit rsd of 2% (Spark's DEFAULT
+    // relativeSD is 5%, too loose to honestly claim a margin) the
+    // estimate cannot flip a corpus that is meaningfully on either side,
+    // and near the boundary both plans cost about the same.
     val st = keyed.agg(count(lit(1)).as("n"),
-      approx_count_distinct(xxhash64(col("sg"))).as("nd")).head()
+      approx_count_distinct(xxhash64(col("sg")), 0.02).as("nd")).head()
     val (n, nd) = (st.getLong(0), st.getLong(1))
     if (nd > n * 0.8) {
       bandPairs(keyed, idCol, "sg", bands, numHashes / bands)
@@ -257,8 +258,10 @@ object Dedup {
     // Both paths are row-identical: identical sets collide in every
     // band, so the doc-level intersect sees them and yields exactly the
     // 1.0 the set-level path emits by construction (pinned in DedupSpec).
+    // same explicit 2% rsd as nearDupCandidates — the routing margin both
+    // sites document must be the one the estimator actually provides
     val st = keyed.agg(count(lit(1)).as("n"),
-      approx_count_distinct(xxhash64(col("hs"))).as("nd")).head()
+      approx_count_distinct(xxhash64(col("hs")), 0.02).as("nd")).head()
     val (n, nd) = (st.getLong(0), st.getLong(1))
     if (nd > n * 0.8) {
       val cand = bandPairs(keyed.select(col(idCol), col("sg")),
