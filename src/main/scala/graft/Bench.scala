@@ -19,6 +19,30 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Execute a declared query FULLY and return its row count — the one
+    * timed action both Bench and BenchOne use.
+    *
+    * NOT `df.count()`: count() re-optimizes the plan under an
+    * Aggregate[count(1)], and Catalyst then legitimately deletes every
+    * subtree that cannot change the row count — all pure projections
+    * (the x-family's geometry math vanished: x9's count-plan was a bare
+    * parquet scan), final sorts, and even whole join pipelines (em2's
+    * unique-key left join eliminated its ENTIRE blocked-pair subtree:
+    * 0.14 s at sf100 while em1's identical pair work took 150 s).
+    * Meanwhile the DuckDB baseline (scripts/baseline.py) materializes
+    * every query with CREATE TEMP TABLE AS — full compute, all columns.
+    * Timing count() against that is not a comparison.
+    *
+    * `queryExecution.toRdd.count()` runs the query's OWN optimized plan
+    * — every output column computed into UnsafeRows, joins and sorts
+    * executed — and counts rows executor-side with no driver transfer
+    * and no second Catalyst pass that could prune work. Discovered and
+    * fixed in round 17; bench records from earlier rounds under-measure
+    * projection-only and top-level-join queries.
+    */
+  def runFull(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   /** Median of wall times — the one definition both Bench and BenchOne
     * report, so the dev tool can't disagree with the published line.
     */
@@ -219,7 +243,7 @@ object Bench {
         // sf10 leaving reps x queries of them resident is real memory)
         graft.ops.Caches.releaseAll(spark)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        try { runFull(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")

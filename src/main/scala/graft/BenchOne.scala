@@ -30,6 +30,14 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
+    // optional per-stage task-skew probe (see TaskStats scaladoc): the
+    // runtime check that blockedPairs' grain bound really holds on a
+    // skewed corpus — plan pins can't see task durations
+    val taskStats = if (sys.env.get("SPARK_GRAFT_TASK_STATS").contains("1")) {
+      val l = new TaskStats
+      spark.sparkContext.addSparkListener(l)
+      Some(l)
+    } else None
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt.max(1)
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
@@ -39,13 +47,28 @@ object BenchOne {
       // time construction + execution, like graft.Bench: query functions
       // may do eager driver-side work (e.g. collecting tiny centroid
       // tables) that belongs in the reported time
-      val walls = (1 to reps).map { _ =>
+      val walls = (1 to reps).map { rep =>
         // mirror Bench.scala: release graft caches BEFORE timing, so
         // reps 2+ of a caching query (e.g. t11's fp.cache()) measure the
         // full computation, not a cache hit
         graft.ops.Caches.releaseAll(spark)
+        // skew probe scoped to the LAST rep (warm JVM — first-rep codegen
+        // compilation inflates one arbitrary task's duration and would
+        // read as a false straggler); listener events are async, so drain
+        // them before reading
+        if (rep == reps) taskStats.foreach(_.reset())
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        // full materialization, not count() — see Bench.runFull: count()
+        // lets Catalyst delete projections/sorts/joins that can't change
+        // the row count, silently timing a fraction of the query
+        val n = Bench.runFull(fn(spark, sfDir))
+        if (rep == reps) taskStats.foreach { l =>
+          // the listener bus is async and its waitUntilEmpty is
+          // private[spark]; 2 s dwarfs its ms-scale drain latency and
+          // this path is opt-in dev tooling, never a timed section
+          Thread.sleep(2000)
+          l.report(name)
+        }
         ((System.nanoTime() - t0) / 1e9, n)
       }
       val med = Bench.median(walls.map(_._1))

@@ -170,6 +170,14 @@ object GraftFunctions {
           require(children.length == 1,
             "simhash64(tokens) takes exactly 1 argument")
           SimHash64(children(0))
+        }),
+      (
+        FunctionIdentifier("simhash32_bits"),
+        new ExpressionInfo(classOf[SimHash32Bits].getName, "simhash32_bits"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1,
+            "simhash32_bits(tokens) takes exactly 1 argument")
+          SimHash32Bits(children(0))
         }))
 
   def register(spark: SparkSession): Unit =

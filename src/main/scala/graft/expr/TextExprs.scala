@@ -243,3 +243,72 @@ object SimHash64 {
     out
   }
 }
+
+/** Codegen'd 32-bit SimHash as a '0'/'1' bit STRING (MSB-first) —
+  * value-identical to the higher-order-function reference form
+  * `TextOps.simhash32` (equality pinned in DedupSpec), but one compiled
+  * md5 + bit-count pass per row. The HOF twin evaluates 32 interpreted
+  * `pow`/`floor` lambdas PER TOKEN (zip_with over a fresh 32-array):
+  * ~0.9 ms/document at the sf0.1 shape, which made t7 the slowest
+  * text query (4.5 s over 5k docs) for what is one digest per token.
+  */
+case class SimHash32Bits(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash32_bits expects array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(toks: Any): Any =
+    SimHash32Bits.compute(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks => {
+      s"${ev.value} = graft.expr.SimHash32Bits.compute($toks);"
+    })
+
+  override def prettyName: String = "simhash32_bits"
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32Bits =
+    copy(child = newChild)
+}
+
+object SimHash32Bits {
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def compute(toks: ArrayData): UTF8String = {
+    val md = mdLocal.get()
+    val counts = new Array[Int](32)
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      if (!toks.isNullAt(t)) {
+        md.reset()
+        val d = md.digest(toks.getUTF8String(t).getBytes)
+        // first 4 digest bytes big-endian == first 8 md5 hex chars, the
+        // same uint32 the HOF form gets via conv(substring(md5, 1, 8))
+        var h = 0L
+        var b = 0
+        while (b < 4) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        var j = 0
+        while (j < 32) {
+          counts(j) += (((h >>> (31 - j)) & 1L).toInt << 1) - 1
+          j += 1
+        }
+      }
+      t += 1
+    }
+    val out = new Array[Byte](32)
+    var j = 0
+    while (j < 32) {
+      out(j) = if (counts(j) > 0) '1' else '0'
+      j += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+}

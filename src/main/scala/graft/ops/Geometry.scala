@@ -69,6 +69,76 @@ object Geometry {
     }
   }
 
+  /** `eulerZyxToMatrix` with the six trig terms staged as named
+    * intermediate columns on `df` — the corpus-scale form.
+    *
+    * Why a DataFrame-level variant exists: the Column-only helpers build
+    * each matrix entry as its own tree, so shared terms (cos/sin of each
+    * angle, Rodrigues' sqrt) are textually DUPLICATED into all 9 entries
+    * — ~90 transcendental evaluations per row once the 9 entries are
+    * selected, and an expression source so large it bloats codegen.
+    * Staging the shared terms as real columns lets the optimizer keep
+    * them staged (CollapseProject refuses to inline a non-trivial alias
+    * referenced more than once), so each computes ONCE per row inside
+    * the same whole-stage-codegen pass. Measured on x8 at sf0.1:
+    * 15.6 s inline -> 0.23 s staged, bit-identical output (same entry
+    * trees, shared terms have one evaluation site but the same value).
+    * The Column-only forms above stay for small-cardinality callers
+    * (pose grids, per-image calibration).
+    */
+  def eulerZyxStaged(df: org.apache.spark.sql.DataFrame,
+      aDeg: Column, bDeg: Column, cDeg: Column)
+      : (org.apache.spark.sql.DataFrame, Mat3) = {
+    val staged = df.withColumns(Map(
+      "__ca" -> cos(radians(aDeg)), "__sa" -> sin(radians(aDeg)),
+      "__cb" -> cos(radians(bDeg)), "__sb" -> sin(radians(bDeg)),
+      "__cc" -> cos(radians(cDeg)), "__sc" -> sin(radians(cDeg))))
+    val (ca, sa) = (col("__ca"), col("__sa"))
+    val (cb, sb) = (col("__cb"), col("__sb"))
+    val (cc, sc) = (col("__cc"), col("__sc"))
+    (staged, Seq(
+      Seq(ca * cb, ca * sb * sc - sa * cc, ca * sb * cc + sa * sc),
+      Seq(sa * cb, sa * sb * sc + ca * cc, sa * sb * cc - ca * sc),
+      Seq(-sb, cb * sc, cb * cc)))
+  }
+
+  /** `rodrigues` with theta / k / cos / sin / (1-cos) staged as named
+    * intermediate columns — the corpus-scale form (see eulerZyxStaged
+    * for why; the sqrt alone appeared ~50x in the inline entry trees).
+    *
+    * `finish` is applied to each entry INSIDE the zero-theta guard's
+    * live branch (the identity constants pass through exactly under any
+    * rounding, so finishing only the computed branch is value-identical
+    * to finishing the whole CASE). Wrapping the guard from outside
+    * instead triples the CASE tree: a finisher like GeoQueries.r6
+    * references its argument 3x, and nesting CASE-in-CASE defeated
+    * codegen CSE — measured 6.6 s vs 0.9 s on x8 at sf0.1.
+    */
+  def rodriguesStaged(df: org.apache.spark.sql.DataFrame,
+      rx: Column, ry: Column, rz: Column,
+      finish: Column => Column = identity)
+      : (org.apache.spark.sql.DataFrame, Mat3) = {
+    val staged = df
+      .withColumn("__th", sqrt(rx * rx + ry * ry + rz * rz))
+      .withColumns(Map(
+        "__kx" -> (rx / col("__th")), "__ky" -> (ry / col("__th")),
+        "__kz" -> (rz / col("__th")),
+        "__c" -> cos(col("__th")), "__s" -> sin(col("__th"))))
+      .withColumn("__v", lit(1.0) - col("__c"))
+    val th = col("__th")
+    val (kx, ky, kz) = (col("__kx"), col("__ky"), col("__kz"))
+    val (c, s, v) = (col("__c"), col("__s"), col("__v"))
+    val raw = Seq(
+      Seq(c + kx * kx * v, kx * ky * v - kz * s, kx * kz * v + ky * s),
+      Seq(ky * kx * v + kz * s, c + ky * ky * v, ky * kz * v - kx * s),
+      Seq(kz * kx * v - ky * s, kz * ky * v + kx * s, c + kz * kz * v))
+    (staged, raw.zipWithIndex.map { case (row, i) =>
+      row.zipWithIndex.map { case (e, j) =>
+        when(th > 0.0, finish(e)).otherwise(lit(if (i == j) 1.0 else 0.0))
+      }
+    })
+  }
+
   /** Pinhole projection with the rational distortion model actually used by
     * the reference (k1,k2,p1,p2,k4 nonzero; K3..K5 fixed —
     * camera_calib.py:101-102, extrinsic_calibration.py:114-124).

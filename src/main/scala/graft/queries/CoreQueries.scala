@@ -141,9 +141,16 @@ object CoreQueries {
         col("l_tax"),
         (col("l_partkey") % 360 - 180).cast("double"),
         (col("l_suppkey") % 360 - 180).cast("double"))
+      // fanOut BEFORE the format+regex (the heaviest per-row chain in the
+      // core family): a single-row-group source plans one scan task and
+      // serializes ~8 s of parse on one core — see QueryDef.fanOut
       Sources.parsePoseLine(
-          T.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
-            line.as("line")), "line")
+          QueryDef.fanOut(T.lineitem(s, d)
+              .select(col("l_orderkey"), col("l_linenumber"),
+                col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+                col("l_tax"), col("l_partkey"), col("l_suppkey")))
+            .select(col("l_orderkey"), col("l_linenumber"), line.as("line")),
+          "line")
         .select("l_orderkey", "l_linenumber", "x", "y", "z", "a", "b", "c")
         .orderBy("l_orderkey", "l_linenumber", "x", "y", "z", "a", "b", "c")
     },

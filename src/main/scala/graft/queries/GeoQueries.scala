@@ -51,6 +51,42 @@ object GeoQueries {
       .otherwise(raise_error(concat(
         lit("r9: non-finite input "), c.cast("string"))).cast("double"))
 
+  // r9's 1e6 twin for the trig-valued queries (x7/x8/x14). These used
+  // Spark's round(x, 6), whose DOUBLE codegen path is
+  // BigDecimal.valueOf(x) -> Double.toString -> setScale — ~380 ns and
+  // two allocations PER VALUE (jstack-sampled: 4 of 6 samples inside
+  // BigDecimal from the generated code; x7's 9 rounds x 600k rows x 2
+  // plan passes were ~4 s of the query's 4.7). floor(x*1e6 + 0.5)/1e6
+  // is pure IEEE arithmetic in codegen, and the oracle writes the SAME
+  // formula, so cross-engine equality is by construction rather than
+  // by luck of no value landing within an ulp of a decimal boundary.
+  // Same finiteness guard + -0.0 fold as r9.
+  private[graft] def r6(c: Column): Column =
+    when(c.isNull || (c - c === 0.0), lit(0.0) + floor(c * 1e6 + 0.5) / 1e6)
+      .otherwise(raise_error(concat(
+        lit("r6: non-finite input "), c.cast("string"))).cast("double"))
+
+  // UNGUARDED floor-form — for entries that are PROVABLY finite because
+  // their raw inputs were already guarded once (`finite` below) or are
+  // integer-derived: trig/products/sums of finite values bounded far
+  // from overflow cannot produce NaN/Inf. Why not just r6 everywhere:
+  // the guard references its argument 4x (isnull, e-e, the rounding,
+  // the error string), so on a computed ENTRY it quadruples the
+  // expression tree and drags raise_error's map/concat codegen into
+  // every output column — measured 7.1 s vs 0.8 s on x8's 9 entries at
+  // sf0.1 (the generated method stops being JIT-friendly). Guarding the
+  // ATTRIBUTE inputs once keeps the loud-failure property at ~zero cost.
+  private[graft] def r6u(c: Column): Column =
+    lit(0.0) + floor(c * 1e6 + 0.5) / 1e6
+
+  // One-time finiteness gate for a RAW input column (same IEEE trick as
+  // r9's guard; argument must be a cheap attribute, not a computed
+  // tree). Downstream arithmetic of gated inputs may use r6u.
+  private[graft] def finite(c: Column): Column =
+    when(c.isNull || (c - c === 0.0), c)
+      .otherwise(raise_error(concat(
+        lit("non-finite input "), c.cast("string"))).cast("double"))
+
   // x7/x8/x14 bodies over an explicit lineitem source, shared by the
   // full-corpus queries and their `l_orderkey % 50` slice twins below.
   // These three are the widest declared results (11-16 columns over
@@ -66,47 +102,64 @@ object GeoQueries {
       (col("l_partkey") % 360 - 180).cast("double").as("a"),
       (col("l_suppkey") % 180 - 90).cast("double").as("b"),
       (col("l_linenumber") * 30).cast("double").as("c"))
-    val m = G.eulerZyxToMatrix(col("a"), col("b"), col("c"))
+    // staged form: the six trig terms compute once per row instead of
+    // being duplicated into all 9 entry trees — see G.eulerZyxStaged.
+    // r6u (no per-entry guard): a/b/c are modulo-of-integer casts, so
+    // the trig inputs — hence all entries — are finite by construction.
+    val (staged, m) = G.eulerZyxStaged(base, col("a"), col("b"), col("c"))
     val outs = for (i <- 0 until 3; j <- 0 until 3)
-      yield (lit(0.0) + round(m(i)(j), 6)).as(s"r$i$j")
+      yield r6u(m(i)(j)).as(s"r$i$j")
     val rNames = for (i <- 0 until 3; j <- 0 until 3) yield s"r$i$j"
-    base.select(col("l_orderkey") +: col("l_linenumber") +: outs: _*)
+    staged.select(col("l_orderkey") +: col("l_linenumber") +: outs: _*)
       .orderBy(("l_orderkey" +: "l_linenumber" +: rNames).map(col): _*)
   }
 
   private def x8Body(li: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // rotation-vector inputs gated once (cheap attribute checks): all
+    // downstream entries are trig/products of gated values, bounded in
+    // [-3, 3] — provably finite, so the per-entry rounding is r6u
     val base = li.select(
       col("l_orderkey"), col("l_linenumber"),
-      col("l_discount").as("rx"), col("l_tax").as("ry"),
-      (col("l_quantity") / 100.0).as("rz"))
-    val m = G.rodrigues(col("rx"), col("ry"), col("rz"))
+      finite(col("l_discount")).as("rx"), finite(col("l_tax")).as("ry"),
+      (finite(col("l_quantity")) / 100.0).as("rz"))
+    // staged form: theta/k/cos/sin compute once per row — the inline
+    // tree evaluated ~50 sqrts per row (see G.rodriguesStaged). r6u goes
+    // in as the entry finisher so it lands INSIDE the zero-theta guard
+    // (wrapping the guard would triple the CASE tree — see the helper).
+    val (staged, m) =
+      G.rodriguesStaged(base, col("rx"), col("ry"), col("rz"), finish = r6u)
     val outs = for (i <- 0 until 3; j <- 0 until 3)
-      yield (lit(0.0) + round(m(i)(j), 6)).as(s"r$i$j")
+      yield m(i)(j).as(s"r$i$j")
     val rNames = for (i <- 0 until 3; j <- 0 until 3) yield s"r$i$j"
-    base.select(col("l_orderkey") +: col("l_linenumber") +: outs: _*)
+    staged.select(col("l_orderkey") +: col("l_linenumber") +: outs: _*)
       .orderBy(("l_orderkey" +: "l_linenumber" +: rNames).map(col): _*)
   }
 
   private def x14Body(li: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // angles are modulo-of-integer casts (finite by construction); the
+    // translation inputs are parquet doubles, gated once at the source
+    // so every derived entry can round with the unguarded r6u
     val base = li.select(
       col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
       col("l_suppkey"),
       (col("l_partkey") % 360 - 180).cast("double").as("a"),
       (col("l_suppkey") % 180 - 90).cast("double").as("b"),
       (col("l_linenumber") * 30).cast("double").as("c"),
-      col("l_quantity").as("tx"),
-      (col("l_extendedprice") / 100.0).as("ty"),
-      (col("l_discount") * 10.0).as("tz"))
-    val m = G.eulerZyxToMatrix(col("a"), col("b"), col("c"))
+      finite(col("l_quantity")).as("tx"),
+      (finite(col("l_extendedprice")) / 100.0).as("ty"),
+      (finite(col("l_discount")) * 10.0).as("tz"))
+    // staged trig (see G.eulerZyxStaged); the matrix entries themselves
+    // are cheap products of the staged terms, so their 2x duplication
+    // into (R^T, -R^T t) costs multiplies, not transcendentals
+    val (base2, m) = G.eulerZyxStaged(base, col("a"), col("b"), col("c"))
     val (rt, nt) = G.se3InverseCols(m, col("tx"), col("ty"), col("tz"))
     val outs =
       (for (i <- 0 until 3; j <- 0 until 3)
-        yield (lit(0.0) + round(rt(i)(j), 6)).as(s"i$i$j")) ++
-      nt.zipWithIndex.map { case (e, i) =>
-        (lit(0.0) + round(e, 6)).as(s"it$i") }
-    base.select(Seq(col("l_orderkey"), col("l_linenumber"),
+        yield r6u(rt(i)(j)).as(s"i$i$j")) ++
+      nt.zipWithIndex.map { case (e, i) => r6u(e).as(s"it$i") }
+    base2.select(Seq(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey")) ++ outs: _*)
       .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
   }
@@ -181,19 +234,19 @@ object GeoQueries {
     // (point3d_transformation.py:87-104). Trig -> round 6.
     QueryDef("x7_euler_rotation",
       """SELECT l_orderkey, l_linenumber,
-        |  0.0 + round(cos(radians(a)) * cos(radians(b)), 6) AS r00,
-        |  0.0 + round(cos(radians(a)) * sin(radians(b)) * sin(radians(c)) -
-        |        sin(radians(a)) * cos(radians(c)), 6) AS r01,
-        |  0.0 + round(cos(radians(a)) * sin(radians(b)) * cos(radians(c)) +
-        |        sin(radians(a)) * sin(radians(c)), 6) AS r02,
-        |  0.0 + round(sin(radians(a)) * cos(radians(b)), 6) AS r10,
-        |  0.0 + round(sin(radians(a)) * sin(radians(b)) * sin(radians(c)) +
-        |        cos(radians(a)) * cos(radians(c)), 6) AS r11,
-        |  0.0 + round(sin(radians(a)) * sin(radians(b)) * cos(radians(c)) -
-        |        cos(radians(a)) * sin(radians(c)), 6) AS r12,
-        |  0.0 + round(-sin(radians(b)), 6) AS r20,
-        |  0.0 + round(cos(radians(b)) * sin(radians(c)), 6) AS r21,
-        |  0.0 + round(cos(radians(b)) * cos(radians(c)), 6) AS r22
+        |  0.0 + floor((cos(radians(a)) * cos(radians(b))) * 1e6 + 0.5) / 1e6 AS r00,
+        |  0.0 + floor((cos(radians(a)) * sin(radians(b)) * sin(radians(c)) -
+        |        sin(radians(a)) * cos(radians(c))) * 1e6 + 0.5) / 1e6 AS r01,
+        |  0.0 + floor((cos(radians(a)) * sin(radians(b)) * cos(radians(c)) +
+        |        sin(radians(a)) * sin(radians(c))) * 1e6 + 0.5) / 1e6 AS r02,
+        |  0.0 + floor((sin(radians(a)) * cos(radians(b))) * 1e6 + 0.5) / 1e6 AS r10,
+        |  0.0 + floor((sin(radians(a)) * sin(radians(b)) * sin(radians(c)) +
+        |        cos(radians(a)) * cos(radians(c))) * 1e6 + 0.5) / 1e6 AS r11,
+        |  0.0 + floor((sin(radians(a)) * sin(radians(b)) * cos(radians(c)) -
+        |        cos(radians(a)) * sin(radians(c))) * 1e6 + 0.5) / 1e6 AS r12,
+        |  0.0 + floor((-sin(radians(b))) * 1e6 + 0.5) / 1e6 AS r20,
+        |  0.0 + floor((cos(radians(b)) * sin(radians(c))) * 1e6 + 0.5) / 1e6 AS r21,
+        |  0.0 + floor((cos(radians(b)) * cos(radians(c))) * 1e6 + 0.5) / 1e6 AS r22
         |FROM (SELECT l_orderkey, l_linenumber,
         |        CAST(l_partkey % 360 - 180 AS DOUBLE) AS a,
         |        CAST(l_suppkey % 180 - 90 AS DOUBLE) AS b,
@@ -208,19 +261,19 @@ object GeoQueries {
     // l_orderkey % 50 keyed slice — the form the 1000x sweep dumps.
     QueryDef("x7_slice_euler_rotation",
       """SELECT l_orderkey, l_linenumber,
-        |  0.0 + round(cos(radians(a)) * cos(radians(b)), 6) AS r00,
-        |  0.0 + round(cos(radians(a)) * sin(radians(b)) * sin(radians(c)) -
-        |        sin(radians(a)) * cos(radians(c)), 6) AS r01,
-        |  0.0 + round(cos(radians(a)) * sin(radians(b)) * cos(radians(c)) +
-        |        sin(radians(a)) * sin(radians(c)), 6) AS r02,
-        |  0.0 + round(sin(radians(a)) * cos(radians(b)), 6) AS r10,
-        |  0.0 + round(sin(radians(a)) * sin(radians(b)) * sin(radians(c)) +
-        |        cos(radians(a)) * cos(radians(c)), 6) AS r11,
-        |  0.0 + round(sin(radians(a)) * sin(radians(b)) * cos(radians(c)) -
-        |        cos(radians(a)) * sin(radians(c)), 6) AS r12,
-        |  0.0 + round(-sin(radians(b)), 6) AS r20,
-        |  0.0 + round(cos(radians(b)) * sin(radians(c)), 6) AS r21,
-        |  0.0 + round(cos(radians(b)) * cos(radians(c)), 6) AS r22
+        |  0.0 + floor((cos(radians(a)) * cos(radians(b))) * 1e6 + 0.5) / 1e6 AS r00,
+        |  0.0 + floor((cos(radians(a)) * sin(radians(b)) * sin(radians(c)) -
+        |        sin(radians(a)) * cos(radians(c))) * 1e6 + 0.5) / 1e6 AS r01,
+        |  0.0 + floor((cos(radians(a)) * sin(radians(b)) * cos(radians(c)) +
+        |        sin(radians(a)) * sin(radians(c))) * 1e6 + 0.5) / 1e6 AS r02,
+        |  0.0 + floor((sin(radians(a)) * cos(radians(b))) * 1e6 + 0.5) / 1e6 AS r10,
+        |  0.0 + floor((sin(radians(a)) * sin(radians(b)) * sin(radians(c)) +
+        |        cos(radians(a)) * cos(radians(c))) * 1e6 + 0.5) / 1e6 AS r11,
+        |  0.0 + floor((sin(radians(a)) * sin(radians(b)) * cos(radians(c)) -
+        |        cos(radians(a)) * sin(radians(c))) * 1e6 + 0.5) / 1e6 AS r12,
+        |  0.0 + floor((-sin(radians(b))) * 1e6 + 0.5) / 1e6 AS r20,
+        |  0.0 + floor((cos(radians(b)) * sin(radians(c))) * 1e6 + 0.5) / 1e6 AS r21,
+        |  0.0 + floor((cos(radians(b)) * cos(radians(c))) * 1e6 + 0.5) / 1e6 AS r22
         |FROM (SELECT l_orderkey, l_linenumber,
         |        CAST(l_partkey % 360 - 180 AS DOUBLE) AS a,
         |        CAST(l_suppkey % 180 - 90 AS DOUBLE) AS b,
@@ -246,15 +299,15 @@ object GeoQueries {
         |         cos(th) AS c, sin(th) AS s, 1.0 - cos(th) AS v
         |  FROM t)
         |SELECT l_orderkey, l_linenumber,
-        |  0.0 + round(CASE WHEN th > 0.0 THEN c + kx * kx * v ELSE 1.0 END, 6) AS r00,
-        |  0.0 + round(CASE WHEN th > 0.0 THEN kx * ky * v - kz * s ELSE 0.0 END, 6) AS r01,
-        |  0.0 + round(CASE WHEN th > 0.0 THEN kx * kz * v + ky * s ELSE 0.0 END, 6) AS r02,
-        |  0.0 + round(CASE WHEN th > 0.0 THEN ky * kx * v + kz * s ELSE 0.0 END, 6) AS r10,
-        |  0.0 + round(CASE WHEN th > 0.0 THEN c + ky * ky * v ELSE 1.0 END, 6) AS r11,
-        |  0.0 + round(CASE WHEN th > 0.0 THEN ky * kz * v - kx * s ELSE 0.0 END, 6) AS r12,
-        |  0.0 + round(CASE WHEN th > 0.0 THEN kz * kx * v - ky * s ELSE 0.0 END, 6) AS r20,
-        |  0.0 + round(CASE WHEN th > 0.0 THEN kz * ky * v + kx * s ELSE 0.0 END, 6) AS r21,
-        |  0.0 + round(CASE WHEN th > 0.0 THEN c + kz * kz * v ELSE 1.0 END, 6) AS r22
+        |  0.0 + floor((CASE WHEN th > 0.0 THEN c + kx * kx * v ELSE 1.0 END) * 1e6 + 0.5) / 1e6 AS r00,
+        |  0.0 + floor((CASE WHEN th > 0.0 THEN kx * ky * v - kz * s ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS r01,
+        |  0.0 + floor((CASE WHEN th > 0.0 THEN kx * kz * v + ky * s ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS r02,
+        |  0.0 + floor((CASE WHEN th > 0.0 THEN ky * kx * v + kz * s ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS r10,
+        |  0.0 + floor((CASE WHEN th > 0.0 THEN c + ky * ky * v ELSE 1.0 END) * 1e6 + 0.5) / 1e6 AS r11,
+        |  0.0 + floor((CASE WHEN th > 0.0 THEN ky * kz * v - kx * s ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS r12,
+        |  0.0 + floor((CASE WHEN th > 0.0 THEN kz * kx * v - ky * s ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS r20,
+        |  0.0 + floor((CASE WHEN th > 0.0 THEN kz * ky * v + kx * s ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS r21,
+        |  0.0 + floor((CASE WHEN th > 0.0 THEN c + kz * kz * v ELSE 1.0 END) * 1e6 + 0.5) / 1e6 AS r22
         |FROM k ORDER BY l_orderkey, l_linenumber,
         |  r00, r01, r02, r10, r11, r12, r20, r21, r22""") { (s, d) =>
       x8Body(T.lineitem(s, d))
@@ -273,15 +326,15 @@ object GeoQueries {
         |         cos(th) AS c, sin(th) AS s, 1.0 - cos(th) AS v
         |  FROM t)
         |SELECT l_orderkey, l_linenumber,
-        |  0.0 + round(CASE WHEN th > 0.0 THEN c + kx * kx * v ELSE 1.0 END, 6) AS r00,
-        |  0.0 + round(CASE WHEN th > 0.0 THEN kx * ky * v - kz * s ELSE 0.0 END, 6) AS r01,
-        |  0.0 + round(CASE WHEN th > 0.0 THEN kx * kz * v + ky * s ELSE 0.0 END, 6) AS r02,
-        |  0.0 + round(CASE WHEN th > 0.0 THEN ky * kx * v + kz * s ELSE 0.0 END, 6) AS r10,
-        |  0.0 + round(CASE WHEN th > 0.0 THEN c + ky * ky * v ELSE 1.0 END, 6) AS r11,
-        |  0.0 + round(CASE WHEN th > 0.0 THEN ky * kz * v - kx * s ELSE 0.0 END, 6) AS r12,
-        |  0.0 + round(CASE WHEN th > 0.0 THEN kz * kx * v - ky * s ELSE 0.0 END, 6) AS r20,
-        |  0.0 + round(CASE WHEN th > 0.0 THEN kz * ky * v + kx * s ELSE 0.0 END, 6) AS r21,
-        |  0.0 + round(CASE WHEN th > 0.0 THEN c + kz * kz * v ELSE 1.0 END, 6) AS r22
+        |  0.0 + floor((CASE WHEN th > 0.0 THEN c + kx * kx * v ELSE 1.0 END) * 1e6 + 0.5) / 1e6 AS r00,
+        |  0.0 + floor((CASE WHEN th > 0.0 THEN kx * ky * v - kz * s ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS r01,
+        |  0.0 + floor((CASE WHEN th > 0.0 THEN kx * kz * v + ky * s ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS r02,
+        |  0.0 + floor((CASE WHEN th > 0.0 THEN ky * kx * v + kz * s ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS r10,
+        |  0.0 + floor((CASE WHEN th > 0.0 THEN c + ky * ky * v ELSE 1.0 END) * 1e6 + 0.5) / 1e6 AS r11,
+        |  0.0 + floor((CASE WHEN th > 0.0 THEN ky * kz * v - kx * s ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS r12,
+        |  0.0 + floor((CASE WHEN th > 0.0 THEN kz * kx * v - ky * s ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS r20,
+        |  0.0 + floor((CASE WHEN th > 0.0 THEN kz * ky * v + kx * s ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS r21,
+        |  0.0 + floor((CASE WHEN th > 0.0 THEN c + kz * kz * v ELSE 1.0 END) * 1e6 + 0.5) / 1e6 AS r22
         |FROM k ORDER BY l_orderkey, l_linenumber,
         |  r00, r01, r02, r10, r11, r12, r20, r21, r22""") { (s, d) =>
       x8Body(T.lineitem(s, d).filter(col("l_orderkey") % 50 === 0))
@@ -445,15 +498,15 @@ object GeoQueries {
         |    cos(radians(b)) * cos(radians(c)) AS r22
         |  FROM base)
         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        |  0.0 + round(r00, 6) AS i00, 0.0 + round(r10, 6) AS i01,
-        |  0.0 + round(r20, 6) AS i02,
-        |  0.0 + round(r01, 6) AS i10, 0.0 + round(r11, 6) AS i11,
-        |  0.0 + round(r21, 6) AS i12,
-        |  0.0 + round(r02, 6) AS i20, 0.0 + round(r12, 6) AS i21,
-        |  0.0 + round(r22, 6) AS i22,
-        |  0.0 + round(-(r00 * tx + r10 * ty + r20 * tz), 6) AS it0,
-        |  0.0 + round(-(r01 * tx + r11 * ty + r21 * tz), 6) AS it1,
-        |  0.0 + round(-(r02 * tx + r12 * ty + r22 * tz), 6) AS it2
+        |  0.0 + floor((r00) * 1e6 + 0.5) / 1e6 AS i00, 0.0 + floor((r10) * 1e6 + 0.5) / 1e6 AS i01,
+        |  0.0 + floor((r20) * 1e6 + 0.5) / 1e6 AS i02,
+        |  0.0 + floor((r01) * 1e6 + 0.5) / 1e6 AS i10, 0.0 + floor((r11) * 1e6 + 0.5) / 1e6 AS i11,
+        |  0.0 + floor((r21) * 1e6 + 0.5) / 1e6 AS i12,
+        |  0.0 + floor((r02) * 1e6 + 0.5) / 1e6 AS i20, 0.0 + floor((r12) * 1e6 + 0.5) / 1e6 AS i21,
+        |  0.0 + floor((r22) * 1e6 + 0.5) / 1e6 AS i22,
+        |  0.0 + floor((-(r00 * tx + r10 * ty + r20 * tz)) * 1e6 + 0.5) / 1e6 AS it0,
+        |  0.0 + floor((-(r01 * tx + r11 * ty + r21 * tz)) * 1e6 + 0.5) / 1e6 AS it1,
+        |  0.0 + floor((-(r02 * tx + r12 * ty + r22 * tz)) * 1e6 + 0.5) / 1e6 AS it2
         |FROM r
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""") { (s, d) =>
       x14Body(T.lineitem(s, d))
@@ -486,15 +539,15 @@ object GeoQueries {
         |    cos(radians(b)) * cos(radians(c)) AS r22
         |  FROM base)
         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        |  0.0 + round(r00, 6) AS i00, 0.0 + round(r10, 6) AS i01,
-        |  0.0 + round(r20, 6) AS i02,
-        |  0.0 + round(r01, 6) AS i10, 0.0 + round(r11, 6) AS i11,
-        |  0.0 + round(r21, 6) AS i12,
-        |  0.0 + round(r02, 6) AS i20, 0.0 + round(r12, 6) AS i21,
-        |  0.0 + round(r22, 6) AS i22,
-        |  0.0 + round(-(r00 * tx + r10 * ty + r20 * tz), 6) AS it0,
-        |  0.0 + round(-(r01 * tx + r11 * ty + r21 * tz), 6) AS it1,
-        |  0.0 + round(-(r02 * tx + r12 * ty + r22 * tz), 6) AS it2
+        |  0.0 + floor((r00) * 1e6 + 0.5) / 1e6 AS i00, 0.0 + floor((r10) * 1e6 + 0.5) / 1e6 AS i01,
+        |  0.0 + floor((r20) * 1e6 + 0.5) / 1e6 AS i02,
+        |  0.0 + floor((r01) * 1e6 + 0.5) / 1e6 AS i10, 0.0 + floor((r11) * 1e6 + 0.5) / 1e6 AS i11,
+        |  0.0 + floor((r21) * 1e6 + 0.5) / 1e6 AS i12,
+        |  0.0 + floor((r02) * 1e6 + 0.5) / 1e6 AS i20, 0.0 + floor((r12) * 1e6 + 0.5) / 1e6 AS i21,
+        |  0.0 + floor((r22) * 1e6 + 0.5) / 1e6 AS i22,
+        |  0.0 + floor((-(r00 * tx + r10 * ty + r20 * tz)) * 1e6 + 0.5) / 1e6 AS it0,
+        |  0.0 + floor((-(r01 * tx + r11 * ty + r21 * tz)) * 1e6 + 0.5) / 1e6 AS it1,
+        |  0.0 + floor((-(r02 * tx + r12 * ty + r22 * tz)) * 1e6 + 0.5) / 1e6 AS it2
         |FROM r
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""") { (s, d) =>
       x14Body(T.lineitem(s, d).filter(col("l_orderkey") % 50 === 0))

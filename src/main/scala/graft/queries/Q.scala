@@ -28,4 +28,28 @@ object QueryDef {
 
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)
+
+  /** Fan a scan-parallelism-degenerate source out to the session's cores
+    * before heavy per-row compute.
+    *
+    * Parquet scan splits end at row-group boundaries, so a SINGLE file
+    * with one row group is ONE task no matter how many cores exist — the
+    * shape of the driver's sf0.1 testdata (and of any real corpus
+    * delivered as one fat file). A regex/format/trig pipeline then runs
+    * serially while 31 cores idle (measured: s4's parse was 7.9 s on one
+    * task, DuckDB 1.9 s on 32 threads — Spark's per-row cost is LOWER;
+    * only the layout serialized it). One narrow round-robin exchange of
+    * the pre-compute columns unlocks the cores.
+    *
+    * Scale safety: the fan-out only fires when the scan actually planned
+    * fewer splits than half the cores — a multi-file corpus (every
+    * datagen scale point, any sane 100 TB layout) plans >= cores splits
+    * and passes through untouched, so no shuffle is ever added at scale.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val cores = sc.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= cores) df
+    else df.repartition(cores)
+  }
 }

@@ -251,10 +251,15 @@ object TextQueries {
         |SELECT doc_id,
         |  string_agg(CASE WHEN c > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
         |FROM sums GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+      // codegen'd one-pass form; the HOF reference twin (TX.simhash32)
+      // evaluates 32 interpreted pow/floor lambdas per TOKEN — equality
+      // of the two forms is pinned in DedupSpec
+      graft.expr.GraftFunctions.register(s)
       T.documents(s, d)
         .select(col("doc_id"), TX.tokensLower(col("text")).as("tk"))
         .filter(size(col("tk")) > 0)
-        .select(col("doc_id"), TX.simhash32(col("tk")).as("simhash"))
+        .select(col("doc_id"),
+          call_function("simhash32_bits", col("tk")).as("simhash"))
         .orderBy("doc_id")
     },
 
@@ -393,10 +398,13 @@ object TextQueries {
         |SELECT doc_id,
         |  string_agg(CASE WHEN c > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
         |FROM sums GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+      // same codegen'd form as the full t7 (see its note)
+      graft.expr.GraftFunctions.register(s)
       T.documents(s, d).filter(col("doc_id") % 50 === 0)
         .select(col("doc_id"), TX.tokensLower(col("text")).as("tk"))
         .filter(size(col("tk")) > 0)
-        .select(col("doc_id"), TX.simhash32(col("tk")).as("simhash"))
+        .select(col("doc_id"),
+          call_function("simhash32_bits", col("tk")).as("simhash"))
         .orderBy("doc_id")
     },
 

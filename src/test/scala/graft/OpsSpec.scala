@@ -492,6 +492,18 @@ class TextOpsSpec extends SparkSpec {
     assert(got == slowSimhash(toks))
   }
 
+  test("simhash32_bits (codegen) equals the HOF simhash32 on real docs") {
+    graft.expr.GraftFunctions.register(spark)
+    val docs = graft.ops.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), TextOps.tokensLower(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val n = docs
+      .select(TextOps.simhash32(col("tk")).as("hof"),
+        call_function("simhash32_bits", col("tk")).as("cg"))
+      .filter(col("hof") =!= col("cg")).count()
+    assert(n == 0, s"$n docs disagree between HOF and codegen simhash32")
+  }
+
   test("minhash signature is stable and collision-prone for near-dups") {
     val df = Seq("a b c d e f g", "a b c d e f g").toDF("text")
       .select(TextOps.minhashSignature(
