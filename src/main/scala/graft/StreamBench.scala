@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Streaming throughput record (dev tooling, like Bench): drive the
+  * §2.10 ingestion pipeline — a REAL binaryFile directory stream →
+  * streaming dedup → count-based group assembly — over a synthetic
+  * corpus of many small files, and print one JSON line with files/s,
+  * rows/s, and state-store size.
+  *
+  * Why a real directory source and not MemoryStream: the known scale
+  * cost of file-based streaming is the SOURCE side (every microbatch
+  * re-lists the directory, O(total files) per trigger), which a
+  * MemoryStream harness cannot see. The pipeline under test is exactly
+  * StreamingSpec's end-to-end wiring at ~10,000x its file count.
+  *
+  * Usage:
+  *   SPARK_GRAFT_STREAM_FILES=100000 SPARK_GRAFT_STREAM_BATCH=5000 \
+  *     sbt -batch "runMain graft.StreamBench"
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES", "100000").toInt
+    val perTrigger = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH", "5000").toInt
+    val dir = sys.env.getOrElse("SPARK_GRAFT_STREAM_DIR",
+      "scratch/streambench_src")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // corpus: nFiles tiny files named p{pose}_{slot}.JPG, 5 slots per
+    // pose — the reference's camera-drop layout at 20,000 poses
+    val d = new java.io.File(dir)
+    val existing = Option(d.list()).map(_.length).getOrElse(0)
+    if (existing != nFiles) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d)
+      d.mkdirs()
+      var i = 0
+      while (i < nFiles) {
+        val pose = i / 5
+        val slot = i % 5
+        java.nio.file.Files.write(
+          d.toPath.resolve(f"p$pose%06d_$slot.JPG"),
+          Array[Byte]('j', 'p', 'g'))
+        i += 1
+      }
+      System.err.println(s"[stream-bench] wrote $nFiles files to $dir")
+    }
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-streambench-ckpt").toString
+    val files = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .option("maxFilesPerTrigger", perTrigger)
+      .load(dir)
+    val events = files.select(
+      regexp_extract(col("path"), "([^/]+)_([0-9]+)\\.JPG$", 1).as("poseId"),
+      regexp_extract(col("path"), "([^/]+)_([0-9]+)\\.JPG$", 2)
+        .cast("int").as("slot"),
+      col("path"), col("modificationTime").as("ts"))
+      .as[graft.streaming.Sessionize.FileEvent]
+    val groups = graft.streaming.Sessionize.completeGroups(
+      graft.streaming.Sessionize.dedupedEvents(events, withinSeconds = 60),
+      groupSize = 5, gapSeconds = 12, setWatermark = false)
+
+    val t0 = System.nanoTime()
+    val q = groups.writeStream
+      .format("memory").queryName("sb")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    val nGroups = spark.table("sb").count()
+    val progresses = q.recentProgress
+    val batches = progresses.length
+    val inputRows = progresses.map(_.numInputRows).sum
+    // state operators of the LAST progress carry end-of-run totals
+    val stateOps = progresses.reverse.find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.toSeq).getOrElse(Seq.empty)
+    val stateRows = stateOps.map(_.numRowsTotal).sum
+    val stateBytes = stateOps.map(_.memoryUsedBytes).sum
+    def num(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val line = s"""{"metric":"stream_sessionize","files":$nFiles,""" +
+      s""""batches":$batches,"input_rows":$inputRows,""" +
+      s""""wall_sec":${num(wall)},"files_per_sec":${num(nFiles / wall)},""" +
+      s""""groups_emitted":$nGroups,"state_rows":$stateRows,""" +
+      s""""state_bytes":$stateBytes}"""
+    println(line)
+    try {
+      val w = new java.io.PrintWriter("scratch/streambench.json", "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case scala.util.control.NonFatal(_) => }
+    spark.stop()
+  }
+}

@@ -334,7 +334,9 @@ object PixelQueries {
     * land in a DIFFERENT directory instead of being silently reused and
     * surfacing as a confusing px4 hash mismatch.
     */
-  private lazy val frameFixtures: () => String = () => {
+  // private[graft]: ObjectStoreSpec re-reads the same fixture frames
+  // through the graftmock:// scheme to pin decode-through-object-store
+  private[graft] lazy val frameFixtures: () => String = () => {
     val tag = {
       val g0 = Corners.renderRect(W, W, 40, 50, RW, RH)
       var hsh = 1469598103934665603L // FNV-1a over the key-0 raster

@@ -76,7 +76,8 @@ object Sessionize {
     * missing-pose rule). State per key is O(groupSize) paths.
     */
   def completeGroups(events: Dataset[FileEvent], groupSize: Int = 5,
-      gapSeconds: Long = 12): Dataset[PoseGroup] = {
+      gapSeconds: Long = 12, setWatermark: Boolean = true)
+      : Dataset[PoseGroup] = {
     val spark = events.sparkSession
     import spark.implicits._
 
@@ -85,8 +86,12 @@ object Sessionize {
         new Timestamp(acc.startMs), new Timestamp(acc.endMs),
         acc.paths.reverse)
 
-    events
-      .withWatermark("ts", s"$gapSeconds seconds")
+    // setWatermark=false composes with an upstream stage that already
+    // declared one (e.g. dedupedEvents): Spark allows CHAINED stateful
+    // operators but forbids REDEFINING the watermark on one lineage —
+    // the upstream delay then also governs this stage's timeout sweep
+    (if (setWatermark) events.withWatermark("ts", s"$gapSeconds seconds")
+     else events)
       .groupByKey(_.poseId)
       .flatMapGroupsWithState[Acc, PoseGroup](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

@@ -73,6 +73,73 @@ class ObjectStoreSpec extends SparkSpec {
     assert(viaStore.nonEmpty && viaStore == viaFile)
   }
 
+  test("s-family listing + prefix reads hold at thousands of objects") {
+    store // force registration
+    // round-16 verdict gap: the mock had only ever seen 6 tiny files,
+    // so listing/committer assumptions that appear at volume (listing
+    // pagination, per-file FS re-init cost, glob over a wide dir) were
+    // unexercised. 3,000 objects is past every internal batching
+    // default (Hadoop listing chunks, Spark's parallel-listing
+    // threshold of 32 paths) while keeping the suite fast.
+    val n = 3000
+    val dir = Files.createTempDirectory("graft-objvolume")
+    (0 until n).foreach { i =>
+      Files.write(dir.resolve(f"obj_$i%05d_${if (i % 3 == 0) "e" else "x"}.parquet"),
+        f"payload-$i%05d".getBytes("UTF-8"))
+    }
+    val d = s"graftmock://bucket$dir"
+    // s1: full listing through the scheme
+    val s1 = SparkEntry.queries("s1_binary_scan")(spark, d).collect()
+    assert(s1.length == n)
+    // s2: glob filter must prune listing results, not crash at width
+    val s2 = SparkEntry.queries("s2_glob_scan")(spark, d).collect()
+    assert(s2.length == n / 3)
+    // s1b: recursive lookup over the same width
+    val s1b = SparkEntry.queries("s1b_recursive_scan")(spark, d).collect()
+    assert(s1b.length == n)
+    // s3: per-object positional prefix reads on executors — every task
+    // re-resolves the filesystem from the broadcast session conf, so
+    // 3,000 objects = 3,000 credential-checked FS initializations
+    val s3 = SparkEntry.queries("s3_binary_meta")(spark, d).collect()
+    assert(s3.length == n)
+    assert(s3.forall(_.getAs[String]("content_md5").length == 32))
+    // cross-scheme identity at volume, not just at 6 files: same rows
+    // through file:// (path-prefix-free projections)
+    val viaFile = SparkEntry.queries("s3_binary_meta")(spark, dir.toString)
+      .collect().map(_.toSeq).toSeq
+    assert(s3.map(_.toSeq).toSeq == viaFile)
+  }
+
+  test("px4's scan→decode pipeline reads frames through the scheme") {
+    store // force registration
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the px4 ingestion shape (binaryFile scan → real PNG decode →
+    // corner detect) pointed at the object store instead of file://;
+    // decode bytes must arrive intact through the scheme's reads
+    val frames = graft.queries.PixelQueries.frameFixtures()
+    val viaStore = graft.ops.Sources
+      .binaryScan(spark, s"graftmock://bucket$frames", Some("*.png"))
+      .select(regexp_extract(col("path"), "frame_(\\d+)\\.png$", 1)
+        .cast("int").as("k"), col("content"))
+      .as[(Int, Array[Byte])]
+      .map { case (k, bytes) =>
+        val (w, h, gray) = graft.ops.Codecs.decodeGrayLdr(s"$k.png", bytes)
+        val q = graft.ops.Corners.cornerPixelExtract(gray, w, h)
+          .getOrElse(sys.error(s"no quad in frame $k"))
+        (k, q.tlX, q.tlY, q.brX, q.brY)
+      }.collect().sortBy(_._1)
+    assert(viaStore.length == 25)
+    // px4's closed-form corner geometry (its oracle SQL, including the
+    // -1/+340/+289 detection-convention offsets) must hold on
+    // store-read bytes
+    viaStore.foreach { case (k, tlX, tlY, brX, brY) =>
+      val (rx, ry) = (40 + 9 * (k % 13), 50 + 7 * (k % 17))
+      assert(tlX == rx - 1 && tlY == ry, s"frame $k tl=($tlX,$tlY)")
+      assert(brX == rx + 340 && brY == ry + 289, s"frame $k br=($brX,$brY)")
+    }
+  }
+
   test("a task-side fresh Configuration fails loudly (the fixed bug)") {
     store // force registration + fixture creation
     // the pre-fix binaryPrefixScan resolved `new Configuration()` per
