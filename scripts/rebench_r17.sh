@@ -1,0 +1,37 @@
+#!/bin/bash
+# Round-17 re-bench of the committed scale points under the HONEST
+# measurement (Bench.runFull — full materialization; see Bench.scala):
+# every record from rounds <= 16 timed df.count(), which let Catalyst
+# delete pure projections and em2's whole join pipeline, so the
+# committed sf1/sf10/sf100 numbers under-measure. Baselines are NOT
+# re-recorded (the DuckDB side always materialized fully).
+#
+# sf100 runs at SPARK_GRAFT_REPS=1 (documented): em1/em2's now-honest
+# pair compute is minutes per rep at 1000x and median-of-3 would triple
+# a number whose run-to-run variance the records already bound at
+# ±15-20%; sf1/sf10 keep the standard median-of-3.
+set -uo pipefail
+cd /root/repo
+
+run_point () { # sfdir baseline out log extra_env...
+  local sfdir="$1" baseline="$2" out="$3" log="$4"; shift 4
+  echo "== [rebench $(date +%T)] $sfdir =="
+  rm -f "$out"
+  env SPARK_GRAFT_SF_DIR="$sfdir" SPARK_GRAFT_BASELINE="$baseline" \
+      SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g \
+      SPARK_GRAFT_BENCH_OUT="$out" "$@" \
+      sbt -batch "runMain graft.Bench" > "$log" 2>&1
+  echo "== [rebench $(date +%T)] $sfdir exit $? =="
+}
+
+run_point scratch/sf1   BASELINE_sf1.json   scratch/bench_sf1_r17.json   scratch/bench_sf1_r17.log
+test -s scratch/bench_sf1_r17.json && cp scratch/bench_sf1_r17.json BENCH_sf1.json
+
+run_point scratch/sf10  BASELINE_sf10.json  scratch/bench_sf10_r17.json  scratch/bench_sf10_r17.log
+test -s scratch/bench_sf10_r17.json && cp scratch/bench_sf10_r17.json BENCH_sf10.json
+
+run_point scratch/sf100 BASELINE_sf100.json scratch/bench_sf100_r17.json scratch/bench_sf100_r17.log \
+  SPARK_GRAFT_REPS=1 SPARK_GRAFT_SKIP_QUERIES=w10_gap_sessions_faithful
+test -s scratch/bench_sf100_r17.json && cp scratch/bench_sf100_r17.json BENCH_sf100.json
+
+echo "== [rebench $(date +%T)] done =="

@@ -172,6 +172,14 @@ object GraftFunctions {
           SimHash64(children(0))
         }),
       (
+        FunctionIdentifier("argmax_pair"),
+        new ExpressionInfo(classOf[ClosestPairAgg].getName, "argmax_pair"),
+        (children: Seq[Expression]) => {
+          require(children.length == 3,
+            "argmax_pair(cos, va, vb) takes exactly 3 arguments")
+          ClosestPairAgg(children(0), children(1), children(2))
+        }),
+      (
         FunctionIdentifier("simhash32_bits"),
         new ExpressionInfo(classOf[SimHash32Bits].getName, "simhash32_bits"),
         (children: Seq[Expression]) => {

@@ -106,7 +106,21 @@ object Similarity {
       vecCol: String, maxBlock: Int = 1024): DataFrame = {
     graft.expr.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(labelCol).as("__lbl"), col(idCol).as("__id"),
-      col(vecCol).as("__vec"), l2norm(col(vecCol)).as("__nrm"))
+      col(vecCol).as("__vec"), l2norm(col(vecCol)).as("__nrm0"))
+      // gate the norm ONCE PER ROW (not per pair): the pair-level
+      // rounding below is the unguarded pure-IEEE floor form, which
+      // silently corrupts non-finite values (Spark floor(double) casts
+      // through BIGINT) — a zero or non-finite vector must fail loudly
+      // here instead. Finite nrm > 0 makes every downstream cosine
+      // finite, so the per-pair hot path can stay guard-free.
+      .withColumn("__nrm",
+        when(col("__nrm0").isNull ||
+          (col("__nrm0") - col("__nrm0") === 0.0 && col("__nrm0") > 0.0),
+          col("__nrm0"))
+          .otherwise(raise_error(concat(
+            lit("blockedPairs: zero or non-finite vector norm "),
+            col("__nrm0").cast("string"))).cast("double")))
+      .drop("__nrm0")
     val counts = base.groupBy("__lbl")
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__m",
@@ -125,31 +139,53 @@ object Similarity {
       .select(col("__lbl"), col("__p"), col("__b").as("__q"),
         col("__id").as("vb"), col("__vec").as("__eb"),
         col("__nrm").as("__nb"))
-    aSide.join(bSide, Seq("__lbl", "__p", "__q"))
+    // SHUFFLE_HASH, not the planner's default SortMergeJoin: every join
+    // key (label, p, q) is a bucket PAIR whose sides hold ~maxBlock rows
+    // each, which exceeds SMJ's per-group in-memory buffer threshold
+    // (spark.sql.sortMergeJoinExec.buffer.in.memory.threshold = 2048
+    // ROWS) — SMJ then spills the right group and RE-READS it from disk
+    // once per left row: measured ~770 ns/pair on the sf30-scale skewed
+    // corpus (>6 CPU-hours for 3.25e10 pairs) vs ~25 ns/pair streaming
+    // against an in-memory hash map. Build-side memory is bounded: a
+    // partition holds (bSide rows / partitions) ~ a few hundred MB of
+    // vectors at any committed point, and the session sizes partitions
+    // with the corpus.
+    aSide.join(bSide.hint("shuffle_hash"), Seq("__lbl", "__p", "__q"))
       // same-bucket tasks see all ordered pairs -> keep one orientation;
       // cross-bucket tasks see each unordered pair exactly once
       .filter(col("__p") =!= col("__q") || col("va") < col("vb"))
+      // floor-form rounding, NOT round(x, 6): Spark's double round goes
+      // through BigDecimal.valueOf -> Double.toString (~380 ns + two
+      // allocations per value), and THIS is the engine's single hottest
+      // expression site — it runs once per candidate PAIR (3.25e10 pairs
+      // on the sf30-scale skewed corpus ≈ 3.4 wasted core-HOURS; the
+      // 64-float dot itself costs ~25 ns). The oracles write the same
+      // floor formula, so cross-engine equality is by construction.
+      // Inputs are finite and norms positive (gated per row above).
       .select(col("__lbl").as(labelCol), col("__p").as("p"),
         col("__q").as("q"),
         least(col("va"), col("vb")).as("va"),
         greatest(col("va"), col("vb")).as("vb"),
-        round(dotFast(col("__ea"), col("__eb")) /
-          (col("__na") * col("__nb")), 6).as("cos"))
+        (lit(0.0) + floor(dotFast(col("__ea"), col("__eb")) /
+          (col("__na") * col("__nb")) * 1e6 + 0.5) / 1e6).as("cos"))
   }
 
   /** Per-label closest pair over `blockedPairs`, ranked by
-    * (cos DESC, va, vb) — as a declarative max_by aggregation rather than
-    * a row_number window, so the per-label reduction is map-side partial
-    * (each triangle task pre-reduces its own pair slice to one candidate
-    * before the shuffle on label).
+    * (cos DESC, va, vb) — via the custom `argmax_pair` aggregate rather
+    * than max_by or a row_number window. max_by's struct buffer cannot
+    * hash-aggregate, so the planner silently planned SortAggregate and
+    * its PARTIAL stage sorted the entire pair stream to disk (1.8e10
+    * rows at the sf30 point — the spill filled the box). argmax_pair is
+    * a TypedImperativeAggregate (ObjectHashAggregate): constant 25-byte
+    * buffer per label, true map-side partial — each triangle task
+    * pre-reduces its own pair slice to one candidate before the shuffle.
     */
   def blockedClosestPair(df: DataFrame, labelCol: String, idCol: String,
       vecCol: String, maxBlock: Int = 1024): DataFrame =
     blockedPairs(df, labelCol, idCol, vecCol, maxBlock)
       .groupBy(col(labelCol))
-      .agg(max_by(
-        struct(col("va"), col("vb"), col("cos")),
-        struct(col("cos"), -col("va"), -col("vb"))).as("__best"))
+      .agg(call_function("argmax_pair",
+        col("cos"), col("va"), col("vb")).as("__best"))
       .select(col(labelCol), col("__best.va").as("va"),
         col("__best.vb").as("vb"), col("__best.cos").as("cos"))
 
@@ -190,9 +226,11 @@ object Similarity {
       .select(col("__cl"), col(idCol), col(vecCol))
     blockedPairs(probed, "__cl", idCol, vecCol, maxBlock)
       .groupBy(col("__cl.l").as(labelCol))
-      .agg(max_by(
-        struct(col("va"), col("vb"), col("cos")),
-        struct(col("cos"), -col("va"), -col("vb"))).as("__best"))
+      // argmax_pair, not max_by — same SortAggregate trap as
+      // blockedClosestPair (see its scaladoc); duplicates from a pair
+      // sharing two probed cells stay harmless (identical values)
+      .agg(call_function("argmax_pair",
+        col("cos"), col("va"), col("vb")).as("__best"))
       .select(col(labelCol), col("__best.va").as("va"),
         col("__best.vb").as("vb"), col("__best.cos").as("cos"))
   }

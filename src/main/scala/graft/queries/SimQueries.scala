@@ -104,11 +104,11 @@ object SimQueries {
     QueryDef("em1_blocked_closest_pair",
       """WITH p AS (
         |  SELECT a.label AS label, a.vec_id AS va, b.vec_id AS vb,
-        |    round(
+        |    0.0 + floor((
         |      list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
         |      (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
-        |       sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
-        |      6) AS cos
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+        |) * 1e6 + 0.5) / 1e6 AS cos
         |  FROM embeddings a JOIN embeddings b
         |    ON a.label = b.label AND a.vec_id < b.vec_id),
         |r AS (SELECT label, va, vb, cos,
@@ -150,11 +150,11 @@ object SimQueries {
     QueryDef("em2_cosine_near_dup",
       """WITH p AS (
         |  SELECT a.vec_id AS va, b.vec_id AS vb,
-        |    round(
+        |    0.0 + floor((
         |      list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
         |      (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
-        |       sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
-        |      6) AS cos
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+        |) * 1e6 + 0.5) / 1e6 AS cos
         |  FROM embeddings a JOIN embeddings b
         |    ON a.label = b.label AND a.vec_id < b.vec_id),
         |c AS (SELECT vb AS vec_id, min(va) AS canon
@@ -194,11 +194,11 @@ object SimQueries {
       """WITH emb_s AS (SELECT * FROM embeddings WHERE vec_id % 40 = 0),
         |p AS (
         |  SELECT a.label AS label, a.vec_id AS va, b.vec_id AS vb,
-        |    round(
+        |    0.0 + floor((
         |      list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
         |      (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
-        |       sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
-        |      6) AS cos
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+        |) * 1e6 + 0.5) / 1e6 AS cos
         |  FROM emb_s a JOIN emb_s b
         |    ON a.label = b.label AND a.vec_id < b.vec_id),
         |r AS (SELECT label, va, vb, cos,
@@ -215,11 +215,11 @@ object SimQueries {
       """WITH emb_s AS (SELECT * FROM embeddings WHERE vec_id % 40 = 0),
         |p AS (
         |  SELECT a.vec_id AS va, b.vec_id AS vb,
-        |    round(
+        |    0.0 + floor((
         |      list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
         |      (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
-        |       sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
-        |      6) AS cos
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+        |) * 1e6 + 0.5) / 1e6 AS cos
         |  FROM emb_s a JOIN emb_s b
         |    ON a.label = b.label AND a.vec_id < b.vec_id),
         |c AS (SELECT vb AS vec_id, min(va) AS canon
@@ -296,11 +296,11 @@ object SimQueries {
         |    ORDER BY round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6), c.c_label) <= 2),
         |p AS (
         |  SELECT a.label AS label, a.vec_id AS va, b.vec_id AS vb,
-        |    round(
+        |    0.0 + floor((
         |      list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
         |      (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
-        |       sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))),
-        |      6) AS cos
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i]))))
+        |) * 1e6 + 0.5) / 1e6 AS cos
         |  FROM pr a JOIN pr b
         |    ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id),
         |r AS (SELECT label, va, vb, cos,
@@ -361,11 +361,11 @@ object SimQueries {
         |    ORDER BY round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6), c.c_label) <= 2),
         |p AS (
         |  SELECT a.label AS label, a.vec_id AS va, b.vec_id AS vb,
-        |    round(
+        |    0.0 + floor((
         |      list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
         |      (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
-        |       sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i])))),
-        |      6) AS cos
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i]))))
+        |) * 1e6 + 0.5) / 1e6 AS cos
         |  FROM pr a JOIN pr b
         |    ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id),
         |r AS (SELECT label, va, vb, cos,

@@ -201,6 +201,17 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("ShuffledHashJoin"),
         s"$q lost its shuffled-hash bucket join:\n${p.take(1200)}")
     }
+    // em1/em3's bucket-PAIR join must be a shuffled HASH join, never
+    // SortMergeJoin: every join key group holds ~maxBlock rows per side,
+    // past SMJ's 2048-row in-memory group buffer — the spilled right
+    // group is then RE-READ from disk once per left row (measured
+    // ~770 ns/pair vs ~25 ns streaming a hash map; >6 CPU-hours for the
+    // sf30-scale skewed corpus's 3.25e10 pairs)
+    for (q <- Seq("em1_blocked_closest_pair", "em3_ivf_closest_pair")) {
+      val p = plan(q)
+      assert(p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"),
+        s"$q bucket-pair join regressed to SortMergeJoin:\n${p.take(1200)}")
+    }
   }
 
   test("em3: IVF prefilter keeps bounded bucket joins and a partial max") {
@@ -212,15 +223,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"em3 fell back to an all-pairs product:\n${p.take(1200)}")
-    // the closest-pair reduction must partial-aggregate map-side: each
-    // triangle task reduces its own pair slice to one candidate BEFORE
-    // the exchange on the label (the property that keeps shuffle volume
-    // ∝ tasks, not pairs)
-    assert(p.contains("partial_max_by"),
-      s"em3 lost its map-side partial max_by:\n${p.take(1200)}")
+    // the closest-pair reduction must partial-aggregate map-side via
+    // ObjectHashAggregate over argmax_pair: each triangle task reduces
+    // its own pair slice to one candidate BEFORE the exchange on the
+    // label (shuffle volume ∝ tasks, not pairs). It must NOT be max_by:
+    // that plans as SortAggregate (struct buffer can't hash-agg), whose
+    // partial stage SORTS the whole pair stream to disk.
+    assert(p.contains("partial_argmax_pair"),
+      s"em3 lost its map-side partial argmax_pair:\n${p.take(1200)}")
+    assert(p.contains("ObjectHashAggregate") && !p.contains("SortAggregate"),
+      s"em3's closest-pair reduction fell out of the object-hash path:\n${p.take(1200)}")
     val exIdx = p.indexOf("Exchange hashpartitioning(_groupingexpression")
-    assert(exIdx >= 0 && p.indexOf("partial_max_by") > exIdx,
-      s"partial max_by is not below the label exchange:\n${p.take(1200)}")
+    assert(exIdx >= 0 && p.indexOf("partial_argmax_pair") > exIdx,
+      s"partial argmax_pair is not below the label exchange:\n${p.take(1200)}")
   }
 
   test("em2: canonical dedup is a codegen'd hash aggregate with map-side partial") {
