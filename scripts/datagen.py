@@ -51,6 +51,16 @@ def main():
                 f"{os.environ.get('SPARK_GRAFT_DUCK_TMP', 'scratch/duck_tmp')}'")
     con.execute(f"SET max_temp_directory_size='"
                 f"{os.environ.get('SPARK_GRAFT_DUCK_TMP_CAP', '40GB')}'")
+    # Optional, for the biggest points (sf100's single-file lineitem
+    # COPY buffers the whole 600M-row cross join just to preserve
+    # insertion order — ~56 GB of spill on a box whose RAM would
+    # otherwise never be touched): row order inside a generated parquet
+    # is semantically irrelevant here — the oracle compares are
+    # multiset-based and Spark and DuckDB read the SAME files — so
+    # callers can trade file-order determinism for streaming COPYs.
+    # Values/schemas/row sets stay bit-deterministic either way.
+    if os.environ.get("SPARK_GRAFT_DUCK_NO_ORDER") == "1":
+        con.execute("SET preserve_insertion_order=false")
 
     def nxt(table, col):
         v = con.sql(
