@@ -52,9 +52,14 @@ SPARK_GRAFT_DUCK_TMP_CAP=30GB \
 echo "== [chain $(date +%T)] baseline exit $? =="
 
 echo "== [chain $(date +%T)] bench on HEAD =="
+# REPS=1 (documented, same rationale as rebench_r17.sh's sf100 step):
+# under honest full materialization one em1 rep is ~9 min and em2 ~5 min
+# at this point's 1.8e10 within-label pairs — median-of-3 would triple
+# numbers whose run-to-run variance the records already bound at
+# ±15-20%. Every other query's single-rep noise is well inside that.
 rm -f scratch/bench_sf30_head.json
 SPARK_GRAFT_SF_DIR=scratch/sf30 SPARK_GRAFT_BASELINE=BASELINE_sf30.json \
-SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=32g \
+SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=32g SPARK_GRAFT_REPS=1 \
 SPARK_GRAFT_BENCH_OUT=scratch/bench_sf30_head.json \
   sbt -batch "runMain graft.Bench" > scratch/bench_sf30_r17.log 2>&1
 test -s scratch/bench_sf30_head.json \
