@@ -186,6 +186,14 @@ object GraftFunctions {
           require(children.length == 1,
             "simhash32_bits(tokens) takes exactly 1 argument")
           SimHash32Bits(children(0))
+        }),
+      (
+        FunctionIdentifier("token_stats"),
+        new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1,
+            "token_stats(text) takes exactly 1 argument")
+          TokenStats(children(0))
         }))
 
   def register(spark: SparkSession): Unit =

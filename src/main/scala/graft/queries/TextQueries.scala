@@ -26,12 +26,21 @@ object TextQueries {
         |        list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
         |      FROM documents)
         |ORDER BY doc_id""") { (s, d) =>
+      // one-pass codegen'd token_stats (expr/TextExprs.scala) instead of
+      // the composed tokens/punctCount/totalTokenLen form: the composed
+      // tree ran the regex tokenizer twice per row (CollapseProject
+      // inlines the shared tk alias into both consumers), regexp-copied
+      // the whole text to count punct, and summed token lengths through
+      // an interpreted HOF lambda — measured 5.9x the DuckDB oracle at
+      // sf1 under honest timing; the single scan is value-identical
+      // (pinned against the composed form in TextOpsSpec).
+      graft.expr.GraftFunctions.register(s)
       T.documents(s, d)
-        .select(col("doc_id"), TX.tokens(col("text")).as("tk"), col("text"))
+        .withColumn("__ts", call_function("token_stats", col("text")))
         .select(col("doc_id"),
-          size(col("tk")).cast("bigint").as("n_tokens"),
-          TX.punctCount(col("text")).cast("bigint").as("n_punct"),
-          TX.totalTokenLen(col("tk")).cast("bigint").as("total_tok_len"))
+          col("__ts.n_tokens").as("n_tokens"),
+          col("__ts.n_punct").as("n_punct"),
+          col("__ts.total_tok_len").as("total_tok_len"))
         .orderBy("doc_id")
     },
 
@@ -50,28 +59,31 @@ object TextQueries {
         |      FROM documents)
         |WHERE len(tk) > 0 AND length(text) > 0
         |ORDER BY doc_id""") { (s, d) =>
-      // bind tk ONCE per row: CollapseProject would otherwise inline the
-      // split+filter tokenizer into the size filter and every ratio column
-      // (5 evaluations/row). A single-element transform makes tk a lambda
-      // variable — evaluated once, referenced many times — with no
-      // exchange/cache needed to break the collapse.
-      val ratios = element_at(
-        transform(array(TX.tokensLower(col("text"))), tk => struct(
-          round(TX.stopwordHits(tk, stopEn).cast("double") /
-            size(tk), 6).as("stopword_ratio"),
-          round(TX.totalTokenLen(tk).cast("double") /
-            size(tk), 6).as("mean_tok_len"))),
-        1)
+      // one tokenizer pass (stopword membership needs the token LIST) +
+      // two codegen'd token_stats char scans replace the previous
+      // HOF length-sum and the regexp_replace punct copy: mean_tok_len
+      // and the size divisors come from token_stats(lower(text))
+      // (sum of lowercased token lengths == its non-ws char count;
+      // n_tokens == size(tk) by construction), punct from
+      // token_stats(text) — the ORIGINAL text, because n_punct must
+      // pair with length(text) the way the oracle's regexp_replace
+      // does (lowercasing can change char counts for rare Unicode).
+      // __tsl is staged via withColumn and referenced 3x — non-cheap
+      // multi-referenced aliases survive CollapseProject, so it is
+      // evaluated once per row.
+      graft.expr.GraftFunctions.register(s)
       T.documents(s, d)
         // len(tk) > 0 (oracle form) == text has a non-whitespace char —
         // the cheap equivalent keeps the tokenizer out of the predicate
         .filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), col("text"), ratios.as("r"))
+        .withColumn("__tsl", call_function("token_stats", lower(col("text"))))
         .select(col("doc_id"),
-          col("r.stopword_ratio"),
-          col("r.mean_tok_len"),
-          round(TX.punctCount(col("text")).cast("double") /
-            length(col("text")), 6).as("punct_ratio"))
+          round(TX.stopwordHits(TX.tokensLower(col("text")), stopEn)
+            .cast("double") / col("__tsl.n_tokens"), 6).as("stopword_ratio"),
+          round(col("__tsl.total_tok_len").cast("double") /
+            col("__tsl.n_tokens"), 6).as("mean_tok_len"),
+          round(call_function("token_stats", col("text")).getField("n_punct")
+            .cast("double") / length(col("text")), 6).as("punct_ratio"))
         .orderBy("doc_id")
     },
 

@@ -430,6 +430,31 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0) == Seq() && out(1) == Seq("abc", "bcd"))
   }
 
+  test("token_stats matches the composed tokens/punct/len form on real docs") {
+    graft.expr.GraftFunctions.register(spark)
+    // edge strings cover: empty, whitespace-only (incl. non-space \s
+    // chars), leading/trailing runs, multi-byte chars (😀 é — non-ASCII
+    // counts as ONE punct char and token char, per the Java regexes),
+    // and punctuation-adjacent tokens
+    val docs = Tables.documents(spark, sf("sf0.001")).select("doc_id", "text")
+      .limit(100)
+      .union(Seq((9001L, ""), (9002L, "   "), (9003L, "\t\n\r\f"),
+        (9004L, "  a  b  "), (9005L, "a,b.c!"), (9006L, "ab😀cd é x"),
+        (9007L, "one"), (9008L, "-"), (9009L, "ab"))
+        .toDF("doc_id", "text"))
+    val fast = docs
+      .withColumn("__ts", call_function("token_stats", col("text")))
+      .select(col("doc_id"), col("__ts.n_tokens"), col("__ts.n_punct"),
+        col("__ts.total_tok_len"))
+    val composed = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"), col("text"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("bigint").as("n_tokens"),
+        TextOps.punctCount(col("text")).cast("bigint").as("n_punct"),
+        TextOps.totalTokenLen(col("tk")).cast("bigint").as("total_tok_len"))
+    assert(fast.exceptAll(composed).isEmpty && composed.exceptAll(fast).isEmpty)
+  }
+
   test("chargram_distinct matches size(array_distinct(charGrams)) on real docs") {
     graft.expr.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, sf("sf0.001")).select("doc_id", "text")
