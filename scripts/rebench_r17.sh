@@ -48,7 +48,8 @@ test -s scratch/bench_sf10_r17.json && cp scratch/bench_sf10_r17.json BENCH_sf10
 
 run_point scratch/sf100 BASELINE_sf100.json scratch/bench_sf100_r17.json scratch/bench_sf100_r17.log \
   SPARK_GRAFT_REPS=1 \
-  SPARK_GRAFT_SKIP_QUERIES=w10_gap_sessions_faithful,em1_blocked_closest_pair,em2_cosine_near_dup
+  SPARK_GRAFT_SKIP_QUERIES=w10_gap_sessions_faithful,em1_blocked_closest_pair,em2_cosine_near_dup,x7_euler_rotation,x8_rodrigues,x14_se3_inverse \
+  JAVA_TOOL_OPTIONS=-Dspark.cleaner.periodicGC.interval=60s
 test -s scratch/bench_sf100_r17.json && cp scratch/bench_sf100_r17.json BENCH_sf100.json
 
 echo "== [rebench $(date +%T)] done =="

@@ -42,10 +42,18 @@ grep -E "\[bench-one\]|WORST" scratch/benchone_zipf30.log || true
 # already fully oracled at their own scale point. The skip list is
 # derived from the oracle map, produced the same way scalepass does.
 mkdir -p scratch/verify_zipf30_r17
-if [ ! -f scratch/verify_zipf30_r17/oracle_sql.json ]; then
+if [ ! -s scratch/verify_zipf30_r17/oracle_sql.json ]; then
   sbt -batch "runMain graft.Verify scratch/zipf30 scratch/verify_zipf30_r17 w6_first_int_key" \
-    > /dev/null
+    > scratch/verify_zipf30_oracle.log 2>&1
+  rc=$?
   rm -rf scratch/verify_zipf30_r17/w6_first_int_key
+  # A failed Verify leaves oracle_sql.json missing/empty; under set -u
+  # that would make SKIP empty and the scalepass below would run the
+  # FULL quadratic em oracles on the 300x corpus. Bail out instead.
+  if [ $rc -ne 0 ] || [ ! -s scratch/verify_zipf30_r17/oracle_sql.json ]; then
+    echo "== [zipf] Verify failed (exit $rc) or oracle_sql.json empty — aborting before scalepass ==" >&2
+    exit 1
+  fi
 fi
 SKIP=$(python3 - <<'EOF'
 import json

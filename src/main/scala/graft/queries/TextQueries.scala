@@ -73,9 +73,17 @@ object TextQueries {
       // evaluated once per row.
       graft.expr.GraftFunctions.register(s)
       T.documents(s, d)
-        // len(tk) > 0 (oracle form) == text has a non-whitespace char —
-        // the cheap equivalent keeps the tokenizer out of the predicate
-        .filter(length(trim(col("text"))) > 0)
+        // len(tk) > 0 (oracle form) == text has a char outside the
+        // tokenizer's whitespace set. That set is exactly Java's \s
+        // (TextExprs.scala:386), so rlike "\S" is value-identical to
+        // n_tokens > 0 — unlike trim(), which strips only ASCII spaces
+        // and let a \t/\n-only document through with n_tokens = 0.
+        // rlike stays cheap when Catalyst pushes it below the project
+        // (first-match scan); filtering on __tsl.n_tokens would get the
+        // alias substituted into the pushed predicate and re-run the
+        // whole token_stats char scan per row. n_tokens > 0 implies
+        // length(text) > 0, covering the oracle's second conjunct.
+        .filter(col("text").rlike("\\S"))
         .withColumn("__tsl", call_function("token_stats", lower(col("text"))))
         .select(col("doc_id"),
           round(TX.stopwordHits(TX.tokensLower(col("text")), stopEn)

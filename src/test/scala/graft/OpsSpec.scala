@@ -455,6 +455,24 @@ class TextOpsSpec extends SparkSpec {
     assert(fast.exceptAll(composed).isEmpty && composed.exceptAll(fast).isEmpty)
   }
 
+  test("t2 predicate: rlike \\S is exactly n_tokens > 0 (Java \\s set)") {
+    graft.expr.GraftFunctions.register(spark)
+    // the t2 filter must match the oracle's len(tk) > 0, i.e. the
+    // tokenizer's own whitespace set — including the non-space \s chars
+    // that trim() misses (\t \n \x0B \f \r) — on every edge string
+    val docs = Tables.documents(spark, sf("sf0.001")).select("doc_id", "text")
+      .limit(100)
+      .union(Seq((9001L, ""), (9002L, "   "), (9003L, "\t\n\r\f"),
+        (9004L, "\u000B"), (9005L, " \t x \n "), (9006L, "a"),
+        (9007L, "\r\r\r"), (9008L, "😀")).toDF("doc_id", "text"))
+    val viaRlike = docs.filter(col("text").rlike("\\S")).select("doc_id")
+    val viaTokens = docs
+      .filter(call_function("token_stats", col("text")).getField("n_tokens") > 0)
+      .select("doc_id")
+    assert(viaRlike.exceptAll(viaTokens).isEmpty &&
+      viaTokens.exceptAll(viaRlike).isEmpty)
+  }
+
   test("chargram_distinct matches size(array_distinct(charGrams)) on real docs") {
     graft.expr.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, sf("sf0.001")).select("doc_id", "text")
