@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   * MemoryStream harness cannot see. The pipeline under test is exactly
   * StreamingSpec's end-to-end wiring at ~10,000x its file count.
   *
+  * SPARK_GRAFT_STREAM_SOURCE=memory runs the SAME stateful pipeline fed
+  * from a MemoryStream instead (same event shape, same batch size, one
+  * microbatch per chunk): the committed pair of records separates the
+  * listing-bound source ceiling (files/s) from the operator ceiling
+  * (rows/s through dedup + group assembly) with numbers instead of
+  * prose — the file-source figure is NOT the state machinery's limit.
+  *
   * Usage:
   *   SPARK_GRAFT_STREAM_FILES=100000 SPARK_GRAFT_STREAM_BATCH=5000 \
   *     sbt -batch "runMain graft.StreamBench"
@@ -26,6 +33,9 @@ object StreamBench {
     val dir = sys.env.getOrElse("SPARK_GRAFT_STREAM_DIR",
       "scratch/streambench_src")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val memSource =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_SOURCE", "files") == "memory"
+    if (memSource) { runMemory(nFiles, perTrigger, cpus); return }
 
     // corpus: nFiles tiny files named p{pose}_{slot}.JPG, 5 slots per
     // pose — the reference's camera-drop layout at 20,000 poses
@@ -103,6 +113,71 @@ object StreamBench {
     println(line)
     try {
       val w = new java.io.PrintWriter("scratch/streambench.json", "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case scala.util.control.NonFatal(_) => }
+    spark.stop()
+  }
+
+  /** The operator-ceiling twin: identical pipeline + event shape + batch
+    * size, fed from a MemoryStream (no directory listing, no file IO).
+    * Event times spread ~0.1 ms apart like the file corpus's write-loop
+    * mtimes, so the watermark/state lifecycle matches the file run.
+    */
+  private def runMemory(nFiles: Int, perTrigger: Int, cpus: String): Unit = {
+    val spark: SparkSession = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val base = 1700000000000L // fixed epoch-ms so runs are reproducible
+    val chunks = (0 until nFiles).map { i =>
+      graft.streaming.Sessionize.FileEvent(
+        f"p${i / 5}%06d", i % 5, f"mem://p${i / 5}%06d_${i % 5}.JPG",
+        new java.sql.Timestamp(base + i / 10))
+    }.grouped(perTrigger).toSeq // materialized BEFORE the timed loop
+
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+        graft.streaming.Sessionize.FileEvent]
+    val groups = graft.streaming.Sessionize.completeGroups(
+      graft.streaming.Sessionize.dedupedEvents(input.toDS(),
+        withinSeconds = 60),
+      groupSize = 5, gapSeconds = 12, setWatermark = false)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-streambench-mem-ckpt").toString
+    val q = groups.writeStream
+      .format("memory").queryName("sbm")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .start()
+    val t0 = System.nanoTime()
+    chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    val wall = (System.nanoTime() - t0) / 1e9
+    q.stop()
+
+    val nGroups = spark.table("sbm").count()
+    val progresses = q.recentProgress
+    val inputRows = progresses.map(_.numInputRows).sum
+    val stateOps = progresses.reverse.find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.toSeq).getOrElse(Seq.empty)
+    val stateRows = stateOps.map(_.numRowsTotal).sum
+    val stateBytes = stateOps.map(_.memoryUsedBytes).sum
+    def num(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val line = s"""{"metric":"stream_sessionize_memsource",""" +
+      s""""rows":$nFiles,"batches":${chunks.length},""" +
+      s""""input_rows":$inputRows,"wall_sec":${num(wall)},""" +
+      s""""rows_per_sec":${num(nFiles / wall)},""" +
+      s""""groups_emitted":$nGroups,"state_rows":$stateRows,""" +
+      s""""state_bytes":$stateBytes}"""
+    println(line)
+    try {
+      val w = new java.io.PrintWriter("scratch/streambench_mem.json", "UTF-8")
       try w.println(line) finally w.close()
     } catch { case scala.util.control.NonFatal(_) => }
     spark.stop()

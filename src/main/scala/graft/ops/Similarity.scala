@@ -204,9 +204,13 @@ object Similarity {
     * pass needed).
     *
     * Work: with k cells and nProbe probes, expected pair flops drop to
-    * ~nProbe²/k of em1's (k=25, nProbe=2 → ~0.16×) while per-task work
-    * stays capped at maxBlock² — the shuffle now carries nProbe copies
-    * of each vector instead of ceil(|label|/maxBlock)+1.
+    * ~nProbe²/k of em1's while per-task work stays capped at maxBlock² —
+    * the shuffle now carries nProbe copies of each vector instead of
+    * ceil(|label|/maxBlock)+1. `hotCellCap` additionally bounds the
+    * co-celled quadratic inside hot (label, cell) blocks by the
+    * next-rank sub-split documented at the `keyed` stage below — without
+    * it a label owning a constant fraction of the corpus grows em3's
+    * candidate work quadratically even though every task stays bounded.
     *
     * APPROXIMATE by construction: a label whose true closest pair never
     * shares a probed cell reports its best CO-CELLED pair instead (or no
@@ -216,15 +220,59 @@ object Similarity {
     */
   def ivfClosestPair(df: DataFrame, labelCol: String, idCol: String,
       vecCol: String, cents: DataFrame, nProbe: Int = 2,
-      maxBlock: Int = 1024): DataFrame = {
-    val probed = centroidRanks(df, vecCol, idCol, cents, nProbe)
+      maxBlock: Int = 1024, hotCellCap: Int = Int.MaxValue): DataFrame = {
+    val cells = centroidRankCells(df, vecCol, cents, nProbe + 2) match {
+      case None => // empty centroid table -> empty probe set, empty result
+        return df.limit(0).select(col(labelCol),
+          col(idCol).as("va"), col(idCol).as("vb"),
+          lit(null).cast("double").as("cos"))
+      case Some(ranked) => df
+        // stage the ranked array ONCE: it feeds both slices below, and a
+        // non-cheap multi-referenced alias survives CollapseProject — an
+        // inline `ranked` tree would re-run the full 25-cell l2sq ranking
+        // per consumer (measured ~2x em3's probe stage)
+        .withColumn("__rkc", ranked)
+        .select(col(labelCol), col(idCol), col(vecCol),
+          // probed cells (ranks 1..nProbe) + the two NEXT-nearest cells
+          // (ranks nProbe+1, nProbe+2) that sub-key hot blocks below
+          transform(slice(col("__rkc"), 1, nProbe), s => s.getField("c_label"))
+            .as("__pc"),
+          transform(slice(col("__rkc"), nProbe + 1, 2), s => s.getField("c_label"))
+            .as("__subs"))
+    }
+    // cached (graft-scoped, harness-released): three consumers re-run
+    // this lineage otherwise — the cnt broadcast below, then
+    // blockedPairs' own counts pass and its bucketed join — and the
+    // 25-cell ranking is the expensive part of each re-run
+    val probed = Caches.cached(
+      cells.withColumn("__c", explode(col("__pc"))).drop("__pc"))
+    // Hot-cell sub-split: a (label, cell) block whose population exceeds
+    // `hotCellCap` re-keys each row by the vector's two next-nearest
+    // cells ("cross-split probe"): a hot pair survives only if those
+    // sub-cell SETS intersect, so a hot block of n rows becomes ~2n rows
+    // spread over the other k-nProbe-2 cells and its candidate work drops
+    // from C(n,2) to ~sum C(2n/(k-4), 2) (~6x at k=25) — this bounds the
+    // co-celled quadratic that label skew otherwise feeds (zipf30: the
+    // 34%-hot label put 13-19k rows in EVERY cell; measured candidate
+    // work 5.24e9 -> 1.42e9 at nProbe=2, cap=4096). Cool blocks keep
+    // s = own cell, i.e. exactly the pre-split semantics. A vector with
+    // no sub-ranks (fewer than nProbe+2 centroids) falls back to s = c.
+    // The em3 oracles encode the same conditional (cnt + list_intersect).
+    val cnt = probed.groupBy(col(labelCol), col("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val keyed = probed
+      .join(broadcast(cnt), Seq(labelCol, "__c"))
+      .withColumn("__s", explode(
+        when(col("__n") <= hotCellCap || size(col("__subs")) === 0,
+          array(col("__c")))
+          .otherwise(col("__subs"))))
       // composite block key as a struct (not a string concat — labels
       // containing a separator char would alias): blockedPairs only ever
       // groups/joins/hashes the key column, all struct-safe
       .withColumn("__cl",
-        struct(col(labelCol).as("l"), col("c_label").as("c")))
+        struct(col(labelCol).as("l"), col("__c").as("c"), col("__s").as("s")))
       .select(col("__cl"), col(idCol), col(vecCol))
-    blockedPairs(probed, "__cl", idCol, vecCol, maxBlock)
+    blockedPairs(keyed, "__cl", idCol, vecCol, maxBlock)
       .groupBy(col("__cl.l").as(labelCol))
       // argmax_pair, not max_by — same SortAggregate trap as
       // blockedClosestPair (see its scaladoc); duplicates from a pair
@@ -386,18 +434,38 @@ object Similarity {
     * the same schema, mirroring what the old window form returned.
     */
   def centroidRanks(vectors: DataFrame, vecCol: String, idCol: String,
-      cents: DataFrame, maxRank: Int): DataFrame = {
+      cents: DataFrame, maxRank: Int): DataFrame =
+    centroidRankCells(vectors, vecCol, cents, maxRank) match {
+      case None =>
+        val labelType = cents.schema.head.dataType
+        vectors.limit(0)
+          .withColumn("d2", lit(null).cast("double"))
+          .withColumn("c_label", lit(null).cast(labelType))
+          .withColumn("rk", lit(null).cast("int"))
+      case Some(ranked) =>
+        vectors
+          .select(col("*"), posexplode(ranked).as(Seq("__rk0", "__s")))
+          .withColumn("d2", col("__s.d2"))
+          .withColumn("c_label", col("__s.c_label"))
+          .withColumn("rk", (col("__rk0") + 1).cast("int"))
+          .drop("__rk0", "__s")
+    }
+
+  /** The non-exploded form of `centroidRanks`: the `maxRank` nearest
+    * centroids of `vecCol` as one sorted array<struct<d2, c_label>>
+    * Column over `vectors` — same collect-the-centroids literal, same
+    * rounding and tiebreak, so consumers that need SEVERAL rank slices
+    * per vector (ivfClosestPair's probe + sub-split cells) evaluate the
+    * ranking once instead of re-exploding. None when `cents` is empty
+    * (empty or fully-filtered input).
+    */
+  def centroidRankCells(vectors: DataFrame, vecCol: String,
+      cents: DataFrame, maxRank: Int): Option[Column] = {
     graft.expr.GraftFunctions.register(vectors.sparkSession)
     val rows = cents
       .select(col(cents.columns.head).as("c_label"), col("centroid"))
       .collect()
-    if (rows.isEmpty) {
-      val labelType = cents.schema.head.dataType
-      return vectors.limit(0)
-        .withColumn("d2", lit(null).cast("double"))
-        .withColumn("c_label", lit(null).cast(labelType))
-        .withColumn("rk", lit(null).cast("int"))
-    }
+    if (rows.isEmpty) return None
     // ONE typed Literal node for the whole centroid table, not a
     // CreateArray tree of cells x dims literal nodes: the per-element
     // form made every consumer pay seconds of analyzer/codegen work on a
@@ -419,17 +487,11 @@ object Similarity {
     // interpreted lambda churn even though the surrounding transform/
     // array_sort evaluate interpreted (measured at sf1: sim2 1.6 s ->
     // 0.75 s, sim3 probe 3.8 s -> 1.4 s, index build 12.9 s -> ~6.4 s)
-    val ranked = slice(
+    Some(slice(
       array_sort(transform(centsLit, c => struct(
         round(l2sqFast(col(vecCol), c.getField("_2")), 6).as("d2"),
         c.getField("_1").as("c_label")))),
-      1, maxRank)
-    vectors
-      .select(col("*"), posexplode(ranked).as(Seq("__rk0", "__s")))
-      .withColumn("d2", col("__s.d2"))
-      .withColumn("c_label", col("__s.c_label"))
-      .withColumn("rk", (col("__rk0") + 1).cast("int"))
-      .drop("__rk0", "__s")
+      1, maxRank))
   }
 
   /** IVF assignment: nearest centroid per embedding. */

@@ -244,14 +244,20 @@ object SimQueries {
     },
 
     // IVF-prefiltered closest pair — em1's scale route (em1 stays as the
-    // exact witness): probe each vector into its 2 nearest of the 25
+    // exact witness): probe each vector into its 3 nearest of the 25
     // k-means cells (same memoized index as sim3), generate candidate
     // pairs only where same-label vectors CO-CELL, verify with the exact
-    // rounded cosine. ~nProbe²/k ≈ 0.16× of em1's pair flops; a label
-    // whose true closest pair never shares a probed cell reports its
-    // best co-celled pair (or no row) — the oracle below encodes exactly
-    // these semantics (Lloyd unrolled like sim3's, then probe-2 pair
-    // join); em3-vs-em1 agreement is pinned in the test suite.
+    // rounded cosine. ~nProbe²/k ≈ 0.36× of em1's pair flops BEFORE the
+    // hot-cell sub-split; blocks over hotCellCap=1024 additionally
+    // require the pair to share one of the two next-nearest cells
+    // (ops/Similarity.scala ivfClosestPair), which bounds the co-celled
+    // quadratic under label skew (zipf30: 0.41x the unsplit probe-2
+    // work, sf10: 7.8 s vs 12.0 s elapsed). A label whose true closest pair never survives the probe
+    // reports its best surviving pair (or no row) — the oracle below
+    // encodes exactly these semantics (Lloyd unrolled like sim3's, then
+    // probe-3 pair join gated on cnt/list_intersect); em3-vs-em1
+    // agreement is pinned in the test suite and recorded in the README
+    // (0.9 on the no-replica corpus, up from probe-2's 0.8).
     QueryDef("em3_ivf_closest_pair",
       """WITH e AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -290,10 +296,15 @@ object SimQueries {
         |  GROUP BY a.c_label, pos),
         |c3 AS (SELECT c_label, list(cv ORDER BY pos) AS c FROM m3 GROUP BY c_label),
         |pr AS (
-        |  SELECT e.vec_id, e.label, e.v, c.c_label AS cell
+        |  SELECT e.vec_id, e.label, e.v, c.c_label AS cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6), c.c_label) AS rk
         |  FROM e CROSS JOIN c3 c
-        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-        |    ORDER BY round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6), c.c_label) <= 2),
+        |  QUALIFY rk <= 5),
+        |p2 AS (SELECT vec_id, label, v, cell FROM pr WHERE rk <= 3),
+        |sb AS (SELECT vec_id, list(cell ORDER BY rk) AS subs
+        |       FROM pr WHERE rk > 3 GROUP BY vec_id),
+        |cnt AS (SELECT label, cell, count(*) AS n FROM p2 GROUP BY label, cell),
         |p AS (
         |  SELECT a.label AS label, a.vec_id AS va, b.vec_id AS vb,
         |    0.0 + floor((
@@ -301,15 +312,20 @@ object SimQueries {
         |      (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
         |       sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i]))))
         |) * 1e6 + 0.5) / 1e6 AS cos
-        |  FROM pr a JOIN pr b
-        |    ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id),
+        |  FROM p2 a
+        |  JOIN p2 b ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
+        |  JOIN cnt ct ON ct.label = a.label AND ct.cell = a.cell
+        |  LEFT JOIN sb sa ON sa.vec_id = a.vec_id
+        |  LEFT JOIN sb sbb ON sbb.vec_id = b.vec_id
+        |  WHERE ct.n <= 1024
+        |     OR len(list_intersect(coalesce(sa.subs, [a.cell]), coalesce(sbb.subs, [b.cell]))) > 0),
         |r AS (SELECT label, va, vb, cos,
         |        row_number() OVER (PARTITION BY label ORDER BY cos DESC, va, vb) AS rk
         |      FROM p)
         |SELECT label, va, vb, cos FROM r WHERE rk = 1 ORDER BY label""") { (s, d) =>
       S.ivfClosestPair(T.embeddings(s, d),
           "label", "vec_id", "embedding",
-          sim3Index(s, d), nProbe = 2, maxBlock = 4096)
+          sim3Index(s, d), nProbe = 3, maxBlock = 4096, hotCellCap = 1024)
         .orderBy("label")
     },
 
@@ -355,10 +371,15 @@ object SimQueries {
         |  GROUP BY a.c_label, pos),
         |c3 AS (SELECT c_label, list(cv ORDER BY pos) AS c FROM m3 GROUP BY c_label),
         |pr AS (
-        |  SELECT e.vec_id, e.label, e.v, c.c_label AS cell
+        |  SELECT e.vec_id, e.label, e.v, c.c_label AS cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6), c.c_label) AS rk
         |  FROM e CROSS JOIN c3 c
-        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-        |    ORDER BY round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6), c.c_label) <= 2),
+        |  QUALIFY rk <= 5),
+        |p2 AS (SELECT vec_id, label, v, cell FROM pr WHERE rk <= 3),
+        |sb AS (SELECT vec_id, list(cell ORDER BY rk) AS subs
+        |       FROM pr WHERE rk > 3 GROUP BY vec_id),
+        |cnt AS (SELECT label, cell, count(*) AS n FROM p2 GROUP BY label, cell),
         |p AS (
         |  SELECT a.label AS label, a.vec_id AS va, b.vec_id AS vb,
         |    0.0 + floor((
@@ -366,8 +387,13 @@ object SimQueries {
         |      (sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
         |       sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i]))))
         |) * 1e6 + 0.5) / 1e6 AS cos
-        |  FROM pr a JOIN pr b
-        |    ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id),
+        |  FROM p2 a
+        |  JOIN p2 b ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
+        |  JOIN cnt ct ON ct.label = a.label AND ct.cell = a.cell
+        |  LEFT JOIN sb sa ON sa.vec_id = a.vec_id
+        |  LEFT JOIN sb sbb ON sbb.vec_id = b.vec_id
+        |  WHERE ct.n <= 256
+        |     OR len(list_intersect(coalesce(sa.subs, [a.cell]), coalesce(sbb.subs, [b.cell]))) > 0),
         |r AS (SELECT label, va, vb, cos,
         |        row_number() OVER (PARTITION BY label ORDER BY cos DESC, va, vb) AS rk
         |      FROM p)
@@ -375,7 +401,13 @@ object SimQueries {
       S.ivfClosestPair(
           T.embeddings(s, d).filter(col("vec_id") % 40 === 0),
           "label", "vec_id", "embedding",
-          sim3SliceIndex(s, d), nProbe = 2, maxBlock = 4096)
+          sim3SliceIndex(s, d), nProbe = 3, maxBlock = 4096,
+          // 256, not the full form's 4096: slice corpora are 1/40th the
+          // population, so the production cap would never trigger and the
+          // hot-split path would run oracle-UNCHECKED everywhere — at 256
+          // the zipf30/sf100 slice blocks go hot and DuckDB verifies the
+          // conditional sub-split semantics end to end
+          hotCellCap = 256)
         .orderBy("label")
     },
 

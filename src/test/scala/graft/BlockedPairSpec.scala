@@ -125,9 +125,14 @@ class BlockedPairSpec extends SparkSpec {
     val df = base.unionByName(dups)
     val cents = Similarity.kmeansIndex(
       df, "embedding", "vec_id", k = 8, cacheKey = "bps-em3", iters = 3)
+    // hotCellCap = 10 forces the hot-cell sub-split on this tiny corpus
+    // (every (label, cell) block over 10 rows re-keys by next ranks), so
+    // both invariants below also pin the SPLIT path: identical vectors
+    // have identical rank lists, so a dup pair always shares its
+    // sub-cells and survives the split.
     val em3 = Similarity.ivfClosestPair(
         df, "label", "vec_id", "embedding", cents, nProbe = 2,
-        maxBlock = 20)
+        maxBlock = 20, hotCellCap = 10)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     val em1 = Similarity.blockedClosestPair(
@@ -157,9 +162,10 @@ class BlockedPairSpec extends SparkSpec {
     val d = sf("sf0.01")
     val emb = graft.ops.Tables.embeddings(spark, d)
     val cents = graft.queries.SimQueries.sim3Index(spark, d)
+    // the DECLARED em3 configuration (SimQueries): nProbe=3, cap=1024
     val em3 = Similarity.ivfClosestPair(
-        emb, "label", "vec_id", "embedding", cents, nProbe = 2,
-        maxBlock = 4096)
+        emb, "label", "vec_id", "embedding", cents, nProbe = 3,
+        maxBlock = 4096, hotCellCap = 1024)
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     val em1 = Similarity.blockedClosestPair(
         emb, "label", "vec_id", "embedding", maxBlock = 4096)
@@ -167,5 +173,23 @@ class BlockedPairSpec extends SparkSpec {
     val agree = em1.keys.count(l => em3.get(l).contains(em1(l)))
     assert(em1.size == 10)
     assert(agree >= 5, s"agreement $agree/10 dropped below the measured 5/10")
+  }
+
+  test("em3 hot-cell split: inactive cap is value-identical to unsplit") {
+    // cap >= every block population must change NOTHING: cool blocks key
+    // by (label, cell, s = own cell), which is a pure relabeling of the
+    // pre-split (label, cell) key. Compared on the real sf0.01 corpus at
+    // the declared probe width.
+    val d = sf("sf0.01")
+    val emb = graft.ops.Tables.embeddings(spark, d)
+    val cents = graft.queries.SimQueries.sim3Index(spark, d)
+    val split = Similarity.ivfClosestPair(
+      emb, "label", "vec_id", "embedding", cents, nProbe = 3,
+      maxBlock = 4096, hotCellCap = 1024)
+    val unsplit = Similarity.ivfClosestPair(
+      emb, "label", "vec_id", "embedding", cents, nProbe = 3,
+      maxBlock = 4096) // default cap = Int.MaxValue
+    assert(split.exceptAll(unsplit).isEmpty &&
+      unsplit.exceptAll(split).isEmpty)
   }
 }
