@@ -194,6 +194,14 @@ object GraftFunctions {
           require(children.length == 1,
             "token_stats(text) takes exactly 1 argument")
           TokenStats(children(0))
+        }),
+      (
+        FunctionIdentifier("bpe_stats"),
+        new ExpressionInfo(classOf[BpeStats].getName, "bpe_stats"),
+        (children: Seq[Expression]) => {
+          require(children.length == 1,
+            "bpe_stats(text) takes exactly 1 argument")
+          BpeStats(children(0))
         }))
 
   def register(spark: SparkSession): Unit =

@@ -400,3 +400,100 @@ object TokenStats {
       Array[Any](nTokens, nPunct, tokLen))
   }
 }
+
+/** `bpe_stats(text)` -> struct(n_bpe, n_bpe_distinct) — the one-pass
+  * codegen'd form of t9's
+  * `regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')` +
+  * size/array_distinct pair. The Java regex engine costs ~250 µs of core
+  * time per ~300-char document on this alternation (measured: 3.7 s for
+  * 500k docs on 32 threads where a plain split takes 0.7 s), which made
+  * t9 the worst honest sf100 line at 34x the DuckDB oracle; the byte
+  * scan classifies runs directly.
+  *
+  * Exact-equality notes (Java regex semantics, like TokenStats):
+  *  - a token is a maximal [A-Za-z]+ run, a maximal [0-9]+ run, or ONE
+  *    code point outside [A-Za-z0-9\s] with \s = Java's ASCII
+  *    [ \t\n\x0B\f\r] — multi-byte code points are single punct tokens
+  *    (lead byte + continuations), exactly the regex's per-code-point
+  *    char-class match;
+  *  - n_bpe_distinct compares token BYTES (UTF8String equality), the
+  *    same equality array_distinct/list_distinct apply.
+  */
+case class BpeStats(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.StructType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_stats expects string, got ${t.sql}")
+  }
+
+  override def dataType: DataType = BpeStats.schema
+
+  override def nullSafeEval(text: Any): Any =
+    BpeStats.compute(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text => {
+      s"${ev.value} = graft.expr.BpeStats.compute($text);"
+    })
+
+  override def prettyName: String = "bpe_stats"
+
+  override protected def withNewChildInternal(newChild: Expression): BpeStats =
+    copy(child = newChild)
+}
+
+object BpeStats {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.StructType
+  import org.apache.spark.sql.types.StructField
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_bpe", LongType, nullable = false),
+    StructField("n_bpe_distinct", LongType, nullable = false)))
+
+  private def isLetter(c: Byte): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+  private def isDigit(c: Byte): Boolean = c >= '0' && c <= '9'
+  private def isWs(c: Byte): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0b || c == '\f' || c == '\r'
+
+  def compute(text: UTF8String): InternalRow = {
+    val b = text.getBytes
+    val n = b.length
+    var nBpe = 0L
+    // fromBytes(array, offset, len) wraps without copying; UTF8String
+    // equality/hashCode are byte-wise — the distinct set costs one small
+    // wrapper object per token, no byte copies, no regex Matcher
+    val seen = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (isLetter(c)) {
+        val s = i
+        i += 1
+        while (i < n && isLetter(b(i))) i += 1
+        nBpe += 1
+        seen.add(UTF8String.fromBytes(b, s, i - s))
+      } else if (isDigit(c)) {
+        val s = i
+        i += 1
+        while (i < n && isDigit(b(i))) i += 1
+        nBpe += 1
+        seen.add(UTF8String.fromBytes(b, s, i - s))
+      } else if (isWs(c)) {
+        i += 1
+      } else {
+        // one punct token = one full code point (lead + continuations)
+        val s = i
+        i += 1
+        while (i < n && (b(i) & 0xc0) == 0x80) i += 1
+        nBpe += 1
+        seen.add(UTF8String.fromBytes(b, s, i - s))
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nBpe, seen.size.toLong))
+  }
+}

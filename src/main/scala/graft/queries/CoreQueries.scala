@@ -277,13 +277,15 @@ object CoreQueries {
       // Broadcast can only build the RIGHT side of a left-semi, and the
       // right side here is the fact table — so dedupe its key first: the
       // distinct partial-aggregates map-side (shuffles ~|customer| keys,
-      // not |orders| rows) and the deduped key set broadcasts into a
-      // BroadcastHashJoin LeftSemi (pinned in PlanSpec). At 100 TB, if
-      // the key set outgrows the broadcast threshold AQE falls back to a
-      // shuffle semi-join over the already-deduped keys — still strictly
-      // less data moved than semi-joining raw orders.
+      // not |orders| rows). NO broadcast() hint: a hint overrides the
+      // size threshold, and at sf100 it forced a 15M-key build-side
+      // (collect + replicate ~120 MB per task slot — measured 15.1 s,
+      // 7.7x the oracle). The planner/AQE broadcasts the deduped key set
+      // exactly while it fits (pinned at gate scale in PlanSpec) and
+      // shuffle-semi-joins the already-deduped keys beyond that — still
+      // strictly less data moved than semi-joining raw orders.
       T.customer(s, d)
-        .join(broadcast(T.orders(s, d).select("o_custkey").distinct()),
+        .join(T.orders(s, d).select("o_custkey").distinct(),
           col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")

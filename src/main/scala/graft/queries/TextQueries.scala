@@ -295,12 +295,17 @@ object TextQueries {
         |          AS bpe
         |      FROM documents)
         |ORDER BY doc_id""") { (s, d) =>
+      // bpe_stats, not regexp_extract_all + array_distinct: the Java
+      // regex engine cost ~250 µs/doc on this alternation and made t9
+      // the worst honest sf100 line (163.6 s, 34x the oracle); the
+      // codegen'd one-pass byte scan is value-identical (pinned against
+      // the composed form in OpsSpec) — expr/TextExprs.scala BpeStats.
+      graft.expr.GraftFunctions.register(s)
       T.documents(s, d)
-        .select(col("doc_id"), TX.bpeTokens(col("text")).as("bpe"))
+        .withColumn("__bs", call_function("bpe_stats", col("text")))
         .select(col("doc_id"),
-          size(col("bpe")).cast("bigint").as("n_bpe"),
-          size(array_distinct(col("bpe"))).cast("bigint")
-            .as("n_bpe_distinct"))
+          col("__bs.n_bpe").as("n_bpe"),
+          col("__bs.n_bpe_distinct").as("n_bpe_distinct"))
         .orderBy("doc_id")
     },
 

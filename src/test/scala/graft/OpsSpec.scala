@@ -455,6 +455,29 @@ class TextOpsSpec extends SparkSpec {
     assert(fast.exceptAll(composed).isEmpty && composed.exceptAll(fast).isEmpty)
   }
 
+  test("bpe_stats matches the composed regex/array_distinct form on real docs") {
+    graft.expr.GraftFunctions.register(spark)
+    // edges: empty, ws-only, runs split by case-insensitive letters vs
+    // digits, repeated tokens (distinct < total), multi-byte code points
+    // (one punct token each: 😀 is a single 4-byte token, é a 2-byte
+    // one), and punctuation runs (each char its own token)
+    val docs = Tables.documents(spark, sf("sf0.001")).select("doc_id", "text")
+      .limit(100)
+      .union(Seq((9001L, ""), (9002L, "   \t\n"), (9003L, "abc123def"),
+        (9004L, "a,,b..a  a"), (9005L, "ab😀cd é 😀"), (9006L, "42"),
+        (9007L, "A1b2C3"), (9008L, "!!!"), (9009L, "word word word"))
+        .toDF("doc_id", "text"))
+    val fast = docs
+      .withColumn("__bs", call_function("bpe_stats", col("text")))
+      .select(col("doc_id"), col("__bs.n_bpe"), col("__bs.n_bpe_distinct"))
+    val composed = docs
+      .select(col("doc_id"), TextOps.bpeTokens(col("text")).as("bpe"))
+      .select(col("doc_id"),
+        size(col("bpe")).cast("bigint").as("n_bpe"),
+        size(array_distinct(col("bpe"))).cast("bigint").as("n_bpe_distinct"))
+    assert(fast.exceptAll(composed).isEmpty && composed.exceptAll(fast).isEmpty)
+  }
+
   test("t2 predicate: rlike \\S is exactly n_tokens > 0 (Java \\s set)") {
     graft.expr.GraftFunctions.register(spark)
     // the t2 filter must match the oracle's len(tk) > 0, i.e. the
