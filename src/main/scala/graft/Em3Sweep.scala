@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
   *     by each nProbe in {2,3,4}, straight from group counts (no pair
   *     join runs — counts alone determine the generated-candidate work).
   *
+  *   runMain graft.Em3Sweep split          — candidate-pair work with the
+  *     hot-cell sub-split applied, per (nProbe, cap) — counts only, no
+  *     pair join (the cap-picking companion to `cells`).
+  *
   *   runMain graft.Em3Sweep agree 2 3 4    — em3-vs-em1 exact-pair
   *     agreement (and cosine shortfall on disagreement) at each probe
   *     width, computed in one session against em1's exact result —
@@ -121,8 +125,11 @@ object Em3Sweep {
             cents, nProbe = np, maxBlock = 4096, hotCellCap = cap)
           val j = em1.join(em3, Seq("label"), "left")
             .select(col("label"),
-              (col("va") === col("e_va") && col("vb") === col("e_vb"))
-                .as("exact"),
+              // coalesce: on a dropped label va is NULL, and NULL && x
+              // stays NULL — getBoolean below would NPE on exactly the
+              // dropped>0 case this harness exists to measure
+              coalesce(col("va") === col("e_va") && col("vb") === col("e_vb"),
+                lit(false)).as("exact"),
               col("va").isNull.as("dropped"),
               (col("e_cos") - coalesce(col("cos"), lit(0.0))).as("shortfall"))
             .collect()
@@ -139,7 +146,7 @@ object Em3Sweep {
         }
         em1.unpersist()
 
-      case other => sys.error(s"unknown mode $other (cells|agree)")
+      case other => sys.error(s"unknown mode $other (cells|split|agree)")
     }
     spark.stop()
   }

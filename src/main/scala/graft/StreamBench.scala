@@ -27,6 +27,46 @@ import org.apache.spark.sql.functions._
   *     sbt -batch "runMain graft.StreamBench"
   */
 object StreamBench {
+
+  /** Accumulate input rows / batch count across the WHOLE run via the
+    * listener bus: `q.recentProgress` retains only the last ~100 updates
+    * (spark.sql.streaming.numRecentProgressUpdates), so a small-batch
+    * sweep (nFiles/perTrigger > ~100 microbatches, plus the no-data
+    * batches each chunk can trigger) would silently undercount
+    * input_rows and misstate batches if summed from recentProgress.
+    */
+  private final class ProgressTally
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    val rows = new java.util.concurrent.atomic.AtomicLong(0)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+      rows.addAndGet(e.progress.numInputRows)
+      batches.incrementAndGet()
+      ()
+    }
+    override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+
+  /** The listener bus is async; wait until the tally stops moving (or a
+    * bounded dwell) before reading it. Dev tooling, never a timed
+    * section — same rationale as TaskStats' drain sleep.
+    */
+  private def drain(t: ProgressTally): Unit = {
+    var last = -1L
+    var same = 0
+    var i = 0
+    while (same < 4 && i < 40) { // 4 stable 100 ms polls, max 4 s
+      val cur = t.rows.get() + t.batches.get()
+      if (cur == last) same += 1 else { same = 0; last = cur }
+      Thread.sleep(100)
+      i += 1
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val nFiles = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES", "100000").toInt
     val perTrigger = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH", "5000").toInt
@@ -84,6 +124,8 @@ object StreamBench {
       graft.streaming.Sessionize.dedupedEvents(events, withinSeconds = 60),
       groupSize = 5, gapSeconds = 12, setWatermark = false)
 
+    val tally = new ProgressTally
+    spark.streams.addListener(tally)
     val t0 = System.nanoTime()
     val q = groups.writeStream
       .format("memory").queryName("sb")
@@ -95,11 +137,12 @@ object StreamBench {
     val wall = (System.nanoTime() - t0) / 1e9
 
     val nGroups = spark.table("sb").count()
-    val progresses = q.recentProgress
-    val batches = progresses.length
-    val inputRows = progresses.map(_.numInputRows).sum
-    // state operators of the LAST progress carry end-of-run totals
-    val stateOps = progresses.reverse.find(_.stateOperators.nonEmpty)
+    drain(tally)
+    val batches = tally.batches.get()
+    val inputRows = tally.rows.get()
+    // state operators of the LAST progress carry end-of-run totals (the
+    // last update always survives recentProgress's retention window)
+    val stateOps = q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
       .map(_.stateOperators.toSeq).getOrElse(Seq.empty)
     val stateRows = stateOps.map(_.numRowsTotal).sum
     val stateBytes = stateOps.map(_.memoryUsedBytes).sum
@@ -150,6 +193,8 @@ object StreamBench {
       groupSize = 5, gapSeconds = 12, setWatermark = false)
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-streambench-mem-ckpt").toString
+    val tally = new ProgressTally
+    spark.streams.addListener(tally)
     val q = groups.writeStream
       .format("memory").queryName("sbm")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
@@ -161,16 +206,17 @@ object StreamBench {
     q.stop()
 
     val nGroups = spark.table("sbm").count()
-    val progresses = q.recentProgress
-    val inputRows = progresses.map(_.numInputRows).sum
-    val stateOps = progresses.reverse.find(_.stateOperators.nonEmpty)
+    drain(tally)
+    val inputRows = tally.rows.get()
+    val nBatches = tally.batches.get()
+    val stateOps = q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
       .map(_.stateOperators.toSeq).getOrElse(Seq.empty)
     val stateRows = stateOps.map(_.numRowsTotal).sum
     val stateBytes = stateOps.map(_.memoryUsedBytes).sum
     def num(v: Double) =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     val line = s"""{"metric":"stream_sessionize_memsource",""" +
-      s""""rows":$nFiles,"batches":${chunks.length},""" +
+      s""""rows":$nFiles,"batches":$nBatches,"chunks":${chunks.length},""" +
       s""""input_rows":$inputRows,"wall_sec":${num(wall)},""" +
       s""""rows_per_sec":${num(nFiles / wall)},""" +
       s""""groups_emitted":$nGroups,"state_rows":$stateRows,""" +
