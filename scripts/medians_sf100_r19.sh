@@ -11,7 +11,7 @@ set -uo pipefail
 cd /root/repo
 mkdir -p scratch
 
-QUERIES="a2_two_level_agg w1_sort_mtime t10_winnow_fp t11_simhash_near_dup t6_near_dup_candidates t8_jaccard_verify em3_ivf_closest_pair"
+QUERIES="a2_two_level_agg w1_sort_mtime t10_winnow_fp t11_simhash_near_dup t6_near_dup_candidates t8_jaccard_verify em3_ivf_closest_pair x5_norm_residual x6_rigid_transform w2_gap_sessions"
 
 echo "== [medians r19 $(date +%T)] start =="
 env SPARK_GRAFT_SF_DIR=scratch/sf100 \
