@@ -262,8 +262,16 @@ object CoreQueries {
     QueryDef("j1_equi_join_broadcast",
       """SELECT o_orderkey, c_name, o_totalprice FROM orders
         |JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""") { (s, d) =>
+      // NO broadcast() hint (removed round 19, same rationale as j2's in
+      // round 18): a hint overrides the size threshold at EVERY scale,
+      // and at sf100 it forces a 15M-row dim build replicated per task
+      // slot — on a 1000-executor cluster that is the dim shipped 1000x.
+      // The planner broadcasts customer exactly while it fits (pinned at
+      // gate scale in PlanSpec) and sort-merge-joins beyond; measured at
+      // sf100 the free plan ties the hinted one (~15 s, the 150M-row
+      // output sort dominates both).
       T.orders(s, d)
-        .join(broadcast(T.customer(s, d)),
+        .join(T.customer(s, d),
           col("o_custkey") === col("c_custkey"), "inner")
         .select("o_orderkey", "c_name", "o_totalprice")
         .orderBy("o_orderkey")
