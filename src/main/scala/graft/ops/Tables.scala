@@ -171,6 +171,106 @@ object Tables {
       s"for logical $want")
   }
 
+  /** Bucketed-layout catalog (A2_SF100.md §6 productized): the same
+    * logical table, stored hash-bucketed (and bucket-sorted) on a key, so
+    * keyed aggregation and co-bucketed joins run with NO shuffle exchange
+    * — the layout a production ingest buys once and every downstream
+    * query reuses. On a 1000-executor cluster this is the difference
+    * between re-shuffling 100 TB per query and reading co-located
+    * buckets with zero network (measured at sf100: a2 52→20.5 s,
+    * j2 12.8→9.0 s medians).
+    *
+    * Lifecycle (existence-memoized, like the pipeline runner):
+    *  1. table already in this session's catalog → reuse;
+    *  2. files on disk from an earlier session (`_SUCCESS` present) →
+    *     re-register as an external bucketed table (DDL only, no
+    *     re-write: bucket ids live in the file names, sort order in the
+    *     catalog spec we re-declare);
+    *  3. otherwise ingest: `repartition(n, key)` uses the SAME
+    *     murmur3-pmod function as the bucket-id assignment, so every
+    *     write task holds exactly one bucket → exactly one file per
+    *     bucket, which is also the precondition for the reader to trust
+    *     the per-bucket sort (multi-file buckets forfeit it).
+    *
+    * The table tag fingerprints the SOURCE parquet (size + mtime): if the
+    * driver regenerates testdata, the stale layout is abandoned and
+    * re-ingested rather than silently served.
+    *
+    * Storage root: SPARK_GRAFT_BUCKET_DIR (default `scratch/bucketed`,
+    * dev-local and git-ignored). The source dir itself may be read-only.
+    */
+  def bucketed(spark: SparkSession, sfDir: String, table: String,
+      key: String, cols: Seq[String], buckets: Int = 256): DataFrame =
+    bucketLock.synchronized {
+      val tag = {
+        val id = s"$sfDir|$key|${cols.mkString(",")}|$buckets|" +
+          sourceFingerprint(s"$sfDir/$table.parquet")
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+        md5.digest(id.getBytes("UTF-8")).take(6)
+          .map("%02x".format(_)).mkString
+      }
+      val tname = s"graft_bkt_${table}_$tag"
+      if (!spark.catalog.tableExists(tname)) {
+        val root = sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR",
+          "scratch/bucketed")
+        val loc = new java.io.File(s"$root/$tname").getAbsoluteFile
+        val src = t(spark, sfDir, table).select(cols.map(col): _*)
+        if (new java.io.File(loc, "_SUCCESS").isFile) {
+          spark.sql(
+            s"""CREATE TABLE $tname (${src.schema.toDDL}) USING parquet
+               |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+               |LOCATION '${loc.toURI}'""".stripMargin)
+        } else {
+          src.repartition(buckets, col(key))
+            .write.mode("overwrite")
+            .bucketBy(buckets, key).sortBy(key)
+            .format("parquet").option("path", loc.toString)
+            .saveAsTable(tname)
+        }
+      }
+      spark.table(tname)
+    }
+
+  private val bucketLock = new Object
+
+  /** The declared bucketed layouts — single source of truth shared by the
+    * a2_bucketed/j2_bucketed query bodies and Bench's ingest pre-warm
+    * line, so the benched layout can never drift from the queried one.
+    */
+  val declaredLayouts: Seq[(String, String, Seq[String])] = Seq(
+    ("lineitem", "l_orderkey", Seq("l_orderkey", "l_quantity")),
+    ("customer", "c_custkey", Seq("c_custkey", "c_name")),
+    ("orders", "o_custkey", Seq("o_custkey")))
+
+  /** Resolve one of the declared bucketed layouts by source table. */
+  def bucketedDeclared(spark: SparkSession, sfDir: String,
+      table: String): DataFrame = {
+    val (_, key, cols) = declaredLayouts.find(_._1 == table)
+      .getOrElse(sys.error(s"no declared bucketed layout for $table"))
+    bucketed(spark, sfDir, table, key, cols)
+  }
+
+  /** Ingest every declared layout (Bench's pre-warm; memoized on disk,
+    * so only the first-ever sweep at a scale point pays the write). */
+  def ingestDeclaredLayouts(spark: SparkSession, sfDir: String): Unit =
+    declaredLayouts.foreach { case (tbl, _, _) =>
+      bucketedDeclared(spark, sfDir, tbl) }
+
+  /** (total bytes, newest mtime) of a parquet file-or-directory — the
+    * cheap drift detector for the bucketed-table tag. Non-local schemes
+    * (the mock object store) see (0,0): their tests never bucket.
+    */
+  private def sourceFingerprint(path: String): String = {
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isFile) (f.length, f.lastModified)
+      else Option(f.listFiles()).map(_.map(walk))
+        .filter(_.nonEmpty)
+        .map(ps => (ps.map(_._1).sum, ps.map(_._2).max))
+        .getOrElse((0L, 0L))
+    val (sz, mt) = walk(new java.io.File(path))
+    s"$sz:$mt"
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = t(s, d, "customer")

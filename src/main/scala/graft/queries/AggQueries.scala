@@ -39,6 +39,24 @@ object AggQueries {
       Aggs.twoLevelMean(T.lineitem(s, d), "l_orderkey", "l_quantity")
     },
 
+    // A2 on the bucketed layout (A2_SF100.md §6 productized): identical
+    // semantics and oracle to a2_two_level_agg, but the per-group level
+    // runs on a lineitem copy bucket-partitioned (and bucket-sorted) on
+    // l_orderkey — ONE complete bucket-local HashAggregate, no keyed
+    // Exchange anywhere in the plan (pinned in PlanSpec). This is the
+    // plan a production ingest buys: at sf100 the exchange tax a2 pays
+    // (147M-row shuffle) disappears — 52→20.5 s medians, best rep at
+    // same-day-DuckDB level. The oracle is layout-blind by design.
+    QueryDef("a2_bucketed",
+      """SELECT round(avg(group_mean), 6) AS mean_of_means,
+        |  round(stddev_pop(group_mean), 6) AS std_of_means,
+        |  CAST(count(*) AS BIGINT) AS n_groups
+        |FROM (SELECT l_orderkey, avg(l_quantity) AS group_mean
+        |      FROM lineitem GROUP BY l_orderkey)""") { (s, d) =>
+      Aggs.twoLevelMean(T.bucketedDeclared(s, d, "lineitem"),
+        "l_orderkey", "l_quantity")
+    },
+
     // A3: column-wise mean of N vectors (extrinsic_calibration.py:72-73
     // np.mean(rvecs_list, axis=0)) — element-wise array_sum_agg: the
     // shuffle carries dim doubles per partition instead of the

@@ -299,6 +299,26 @@ object CoreQueries {
         .orderBy("c_custkey")
     },
 
+    // J2 on the co-bucketed layout (A2_SF100.md §6 productized):
+    // identical semantics and oracle to j2_semi_join, but customer and
+    // the orders key column are stored co-bucketed on custkey — the
+    // distinct() is bucket-local (the scan already satisfies its
+    // clustering) and the semi join runs bucket-to-bucket with NO keyed
+    // Exchange in the plan (pinned in PlanSpec); the only remaining
+    // exchange is the range partitioning of the semantically-required
+    // output sort. Measured at sf100: 12.8→9.0 s medians with both
+    // keyed exchanges gone. The oracle is layout-blind by design.
+    QueryDef("j2_bucketed",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""") { (s, d) =>
+      T.bucketedDeclared(s, d, "customer")
+        .join(T.bucketedDeclared(s, d, "orders").distinct(),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
     // J3: anti-join on a literal missing-index list
     // (point3d_transformation.py:133-135, keys [51,126,722,1414,2203]).
     QueryDef("j3_anti_join_missing",

@@ -306,6 +306,20 @@ class PlanSpec extends SparkSpec {
     assert(math.abs(ne2.head - ne.head) < 1e-12)
   }
 
+  test("a2_bucketed/j2_bucketed: no keyed exchange anywhere in the plan") {
+    // The point of the declared bucketed family (A2_SF100.md §6): the
+    // keyed shuffle a2/j2 pay is a LAYOUT choice, and on the bucketed
+    // layout it is GONE. The only exchanges allowed are the
+    // single-partition one under a2's global stats and the range
+    // partitioning of j2's output sort — both O(groups)/O(output), never
+    // a hash repartition of the input.
+    for (name <- Seq("a2_bucketed", "j2_bucketed")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name still pays a keyed exchange:\n${p.take(1500)}")
+    }
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     import spark.implicits._
     val left = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "a")
