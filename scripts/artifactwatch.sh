@@ -5,8 +5,20 @@
 # roundend.sh call at Bench-end can never commit THIS round's copies,
 # and three judges running have found them untracked/modified at
 # judge time. Bench spawns this watcher detached (setsid) at exit; it
-# polls for up to 15 min and re-runs roundend.sh the moment the
-# driver-written artifacts appear, so the judge sees a clean tree.
+# polls for up to 15 min and re-runs roundend.sh whenever a
+# driver-written artifact appears, so the judge sees a clean tree.
+#
+# The two artifacts appear at DIFFERENT times (bench tail first, the
+# LEAKCHECK round-bump later, sometimes after the driver's own commit),
+# so a successful roundend.sh run must NOT end the watch: the loop runs
+# its full budget and commits each artifact as it lands (r19's judge
+# found exactly the one-exit-too-early gap: the tail committed, the
+# leak bump still dirty).
+#
+# Write-stability guard: an artifact is only committed after its
+# size+mtime survive one full poll unchanged — a driver still streaming
+# the file (the old fixed `sleep 5` was the only guard) is left for the
+# next iteration.
 #
 # Best-effort by design: a git index.lock race with the driver's own
 # commit just means roundend.sh fails once and the loop retries; worst
@@ -14,23 +26,32 @@
 set -u
 cd "$(dirname "$0")/.." || exit 0
 
+# size+mtime signature of every watched artifact file (stat -c is fine:
+# dev tooling, Linux-only box)
+sig() {
+  stat -c '%n %s %Y' BENCH_r*.json LEAKCHECK.json 2>/dev/null
+}
+
+prev_sig="$(sig)"
 for _ in $(seq 1 90); do
   sleep 10
+  cur_sig="$(sig)"
   pending=0
   # driver-written bench tail not yet tracked?
   if [ -n "$(git ls-files --others --exclude-standard -- 'BENCH_r*.json' 2>/dev/null)" ]; then
     pending=1
   fi
-  # driver-bumped leakcheck not yet committed?
-  if ! git diff --quiet -- LEAKCHECK.json 2>/dev/null; then
+  # driver-bumped leakcheck not yet committed? (check BOTH the worktree
+  # and the index: a bump someone already staged is still uncommitted)
+  if ! git diff --quiet -- LEAKCHECK.json 2>/dev/null \
+      || ! git diff --cached --quiet -- LEAKCHECK.json 2>/dev/null; then
     pending=1
   fi
-  if [ "$pending" = 1 ]; then
-    sleep 5 # let the driver finish writing/flushing
-    if bash scripts/roundend.sh >> scratch/artifactwatch.log 2>&1; then
-      exit 0
-    fi
-    # commit failed (e.g. index.lock race) — keep polling
+  if [ "$pending" = 1 ] && [ "$cur_sig" = "$prev_sig" ]; then
+    # stable for a full poll interval — safe to stage
+    bash scripts/roundend.sh >> scratch/artifactwatch.log 2>&1
+    # do NOT exit on success: the other artifact may land minutes later
   fi
+  prev_sig="$cur_sig"
 done
 exit 0
