@@ -67,18 +67,10 @@ object StreamBench {
     }
   }
 
-  def main(args: Array[String]): Unit = {
-    val nFiles = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES", "100000").toInt
-    val perTrigger = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH", "5000").toInt
-    val dir = sys.env.getOrElse("SPARK_GRAFT_STREAM_DIR",
-      "scratch/streambench_src")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val memSource =
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_SOURCE", "files") == "memory"
-    if (memSource) { runMemory(nFiles, perTrigger, cpus); return }
-
-    // corpus: nFiles tiny files named p{pose}_{slot}.JPG, 5 slots per
-    // pose — the reference's camera-drop layout at 20,000 poses
+  /** Corpus: nFiles tiny files named p{pose}_{slot}.JPG, 5 slots per
+    * pose — the reference's camera-drop layout at 20,000 poses.
+    */
+  private def ensureCorpus(dir: String, nFiles: Int): Unit = {
     val d = new java.io.File(dir)
     val existing = Option(d.list()).map(_.length).getOrElse(0)
     if (existing != nFiles) {
@@ -98,6 +90,21 @@ object StreamBench {
       }
       System.err.println(s"[stream-bench] wrote $nFiles files to $dir")
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES", "100000").toInt
+    val perTrigger = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH", "5000").toInt
+    val dir = sys.env.getOrElse("SPARK_GRAFT_STREAM_DIR",
+      "scratch/streambench_src")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_SOURCE", "files") match {
+      case "memory"   => runMemory(nFiles, perTrigger, cpus); return
+      case "manifest" => runManifest(nFiles, perTrigger, cpus, dir); return
+      case _          => ()
+    }
+
+    ensureCorpus(dir, nFiles)
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -156,6 +163,105 @@ object StreamBench {
     println(line)
     try {
       val w = new java.io.PrintWriter("scratch/streambench.json", "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case scala.util.control.NonFatal(_) => }
+    spark.stop()
+  }
+
+  /** The manifest side-channel variant: the corpus directory is listed
+    * ONCE, and the stream reads a FILE OF PATHS (one manifest file per
+    * trigger) instead of re-listing the whole directory every
+    * microbatch. This is the production ingest shape for object stores —
+    * S3 inventory lists / bucket notifications feed paths, the stream
+    * never lists — and it removes the O(total files)-per-trigger source
+    * cost that bounds the plain file-source record. Same stateful
+    * pipeline (dedup → group assembly), same batch shape (perTrigger
+    * events per microbatch), so files/s here is directly comparable to
+    * the binaryFile record and the MemoryStream operator ceiling.
+    */
+  private def runManifest(nFiles: Int, perTrigger: Int, cpus: String,
+      dir: String): Unit = {
+    ensureCorpus(dir, nFiles)
+    // the side-channel: one directory listing, chunked into
+    // nFiles/perTrigger manifest files of "path\tmtimeMillis" lines —
+    // its cost is reported separately (a real notification feed pays it
+    // incrementally, never as a scan)
+    val mDir = new java.io.File(dir + "_manifest")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(mDir); mDir.mkdirs()
+    val tM0 = System.nanoTime()
+    val all = new java.io.File(dir).listFiles().sortBy(_.getName)
+    all.grouped(perTrigger).zipWithIndex.foreach { case (chunk, i) =>
+      val body = chunk.map(f => s"${f.getAbsolutePath}\t${f.lastModified}")
+        .mkString("", "\n", "\n")
+      java.nio.file.Files.write(
+        mDir.toPath.resolve(f"manifest-$i%05d.txt"),
+        body.getBytes("UTF-8"))
+    }
+    val manifestSec = (System.nanoTime() - tM0) / 1e9
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-streambench-man-ckpt").toString
+    // one manifest FILE per trigger = perTrigger events per microbatch,
+    // the same batch shape as the binaryFile run's maxFilesPerTrigger
+    val lines = spark.readStream.format("text")
+      .option("maxFilesPerTrigger", 1)
+      .load(mDir.getAbsolutePath)
+    val events = lines.select(
+        split(col("value"), "\t").getItem(0).as("path"),
+        timestamp_millis(split(col("value"), "\t").getItem(1).cast("long"))
+          .as("ts"))
+      .select(
+        regexp_extract(col("path"), "([^/]+)_([0-9]+)\\.JPG$", 1).as("poseId"),
+        regexp_extract(col("path"), "([^/]+)_([0-9]+)\\.JPG$", 2)
+          .cast("int").as("slot"),
+        col("path"), col("ts"))
+      .as[graft.streaming.Sessionize.FileEvent]
+    val groups = graft.streaming.Sessionize.completeGroups(
+      graft.streaming.Sessionize.dedupedEvents(events, withinSeconds = 60),
+      groupSize = 5, gapSeconds = 12, setWatermark = false)
+
+    val tally = new ProgressTally
+    spark.streams.addListener(tally)
+    val t0 = System.nanoTime()
+    val q = groups.writeStream
+      .format("memory").queryName("sbman")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+
+    val nGroups = spark.table("sbman").count()
+    drain(tally)
+    val stateOps = q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.toSeq).getOrElse(Seq.empty)
+    def num(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val line = s"""{"metric":"stream_sessionize_manifest",""" +
+      s""""files":$nFiles,"batches":${tally.batches.get()},""" +
+      s""""input_rows":${tally.rows.get()},""" +
+      s""""manifest_build_sec":${num(manifestSec)},""" +
+      s""""wall_sec":${num(wall)},"files_per_sec":${num(nFiles / wall)},""" +
+      s""""groups_emitted":$nGroups,""" +
+      s""""state_rows":${stateOps.map(_.numRowsTotal).sum},""" +
+      s""""state_bytes":${stateOps.map(_.memoryUsedBytes).sum}}"""
+    println(line)
+    try {
+      val w = new java.io.PrintWriter("scratch/streambench_manifest.json",
+        "UTF-8")
       try w.println(line) finally w.close()
     } catch { case scala.util.control.NonFatal(_) => }
     spark.stop()
