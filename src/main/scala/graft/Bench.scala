@@ -282,7 +282,8 @@ object Bench {
     // point and a catalog lookup afterwards. Skipped when both bucketed
     // queries are skipped.
     val bkt0 = System.nanoTime()
-    val bktNeeded = !(skipQ("a2_bucketed") && skipQ("j2_bucketed"))
+    val bktNeeded = !(skipQ("a2_bucketed") && skipQ("j2_bucketed") &&
+      skipQ("j1_bucketed"))
     val bktOk =
       if (!bktNeeded) false
       else try { graft.ops.Tables.ingestDeclaredLayouts(spark, sfDir); true }

@@ -233,28 +233,34 @@ object Tables {
 
   private val bucketLock = new Object
 
-  /** The declared bucketed layouts — single source of truth shared by the
-    * a2_bucketed/j2_bucketed query bodies and Bench's ingest pre-warm
+  /** The declared bucketed layouts — single source of truth shared by
+    * the a2/j1/j2 bucketed query bodies and Bench's ingest pre-warm
     * line, so the benched layout can never drift from the queried one.
+    * Named (layoutName, sourceTable, bucketKey, columns): a table may
+    * carry more than one layout (orders ships both the j2 key column
+    * and the j1 wide projection, both bucketed on custkey so either
+    * co-partitions with customer).
     */
-  val declaredLayouts: Seq[(String, String, Seq[String])] = Seq(
-    ("lineitem", "l_orderkey", Seq("l_orderkey", "l_quantity")),
-    ("customer", "c_custkey", Seq("c_custkey", "c_name")),
-    ("orders", "o_custkey", Seq("o_custkey")))
+  val declaredLayouts: Seq[(String, String, String, Seq[String])] = Seq(
+    ("lineitem", "lineitem", "l_orderkey", Seq("l_orderkey", "l_quantity")),
+    ("customer", "customer", "c_custkey", Seq("c_custkey", "c_name")),
+    ("orders_keys", "orders", "o_custkey", Seq("o_custkey")),
+    ("orders_wide", "orders", "o_custkey",
+      Seq("o_orderkey", "o_custkey", "o_totalprice")))
 
-  /** Resolve one of the declared bucketed layouts by source table. */
+  /** Resolve one of the declared bucketed layouts by name. */
   def bucketedDeclared(spark: SparkSession, sfDir: String,
-      table: String): DataFrame = {
-    val (_, key, cols) = declaredLayouts.find(_._1 == table)
-      .getOrElse(sys.error(s"no declared bucketed layout for $table"))
+      layout: String): DataFrame = {
+    val (_, table, key, cols) = declaredLayouts.find(_._1 == layout)
+      .getOrElse(sys.error(s"no declared bucketed layout named $layout"))
     bucketed(spark, sfDir, table, key, cols)
   }
 
   /** Ingest every declared layout (Bench's pre-warm; memoized on disk,
     * so only the first-ever sweep at a scale point pays the write). */
   def ingestDeclaredLayouts(spark: SparkSession, sfDir: String): Unit =
-    declaredLayouts.foreach { case (tbl, _, _) =>
-      bucketedDeclared(spark, sfDir, tbl) }
+    declaredLayouts.foreach { case (name, _, _, _) =>
+      bucketedDeclared(spark, sfDir, name) }
 
   /** (total bytes, newest mtime) of a parquet file-or-directory — the
     * cheap drift detector for the bucketed-table tag. Non-local schemes

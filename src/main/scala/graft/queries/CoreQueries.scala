@@ -299,6 +299,23 @@ object CoreQueries {
         .orderBy("c_custkey")
     },
 
+    // J1 on the co-bucketed layout: identical semantics and oracle to
+    // j1_equi_join_broadcast, but orders (wide projection) and customer
+    // are stored co-bucketed on custkey — the join runs bucket-to-bucket
+    // with NO keyed Exchange (pinned in PlanSpec); the remaining
+    // exchange is the range partitioning of the semantically-required
+    // ORDER BY o_orderkey, which dominates j1 at every scale. The
+    // oracle is layout-blind by design.
+    QueryDef("j1_bucketed",
+      """SELECT o_orderkey, c_name, o_totalprice FROM orders
+        |JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""") { (s, d) =>
+      T.bucketedDeclared(s, d, "orders_wide")
+        .join(T.bucketedDeclared(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .select("o_orderkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // J2 on the co-bucketed layout (A2_SF100.md §6 productized):
     // identical semantics and oracle to j2_semi_join, but customer and
     // the orders key column are stored co-bucketed on custkey — the
@@ -313,7 +330,7 @@ object CoreQueries {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""") { (s, d) =>
       T.bucketedDeclared(s, d, "customer")
-        .join(T.bucketedDeclared(s, d, "orders").distinct(),
+        .join(T.bucketedDeclared(s, d, "orders_keys").distinct(),
           col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")

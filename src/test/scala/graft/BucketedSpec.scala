@@ -28,20 +28,26 @@ class BucketedSpec extends SparkSpec {
 
   test("one file per bucket (the sorted-read precondition)") {
     val dir = sf("sf0.001")
-    Tables.bucketedDeclared(spark, dir, "orders") // ensure ingested
-    val t = spark.catalog.listTables()
+    Tables.bucketedDeclared(spark, dir, "orders_keys") // ensure ingested
+    Tables.bucketedDeclared(spark, dir, "orders_wide")
+    // both orders layouts (and anything else ingested this session)
+    // must satisfy the invariant
+    val tables = spark.catalog.listTables()
       .filter(col("name").startsWith("graft_bkt_orders_"))
-      .collect().head.name
-    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
-      .filter(col("col_name") === "Location").collect().head.getString(1)
-    val files = new java.io.File(new java.net.URI(loc)).listFiles()
-      .filter(f => f.getName.startsWith("part-"))
-    // repartition(n, key) uses the same murmur3-pmod as the bucket-id
-    // assignment, so each write task owns exactly one bucket: no bucket
-    // may be split across files (empty buckets write no file at all)
-    val byBucket = files.groupBy(_.getName.split("_")(1).take(5))
-    assert(byBucket.values.forall(_.length == 1),
-      s"multi-file buckets: ${byBucket.filter(_._2.length > 1).keys}")
+      .collect().map(_.name)
+    assert(tables.length >= 2, s"expected both orders layouts: ${tables.toSeq}")
+    for (t <- tables) {
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+        .filter(col("col_name") === "Location").collect().head.getString(1)
+      val files = new java.io.File(new java.net.URI(loc)).listFiles()
+        .filter(f => f.getName.startsWith("part-"))
+      // repartition(n, key) uses the same murmur3-pmod as the bucket-id
+      // assignment, so each write task owns exactly one bucket: no bucket
+      // may be split across files (empty buckets write no file at all)
+      val byBucket = files.groupBy(_.getName.split("_")(1).take(5))
+      assert(byBucket.values.forall(_.length == 1),
+        s"$t multi-file buckets: ${byBucket.filter(_._2.length > 1).keys}")
+    }
   }
 
   test("a later session re-registers the on-disk layout without rewriting") {

@@ -313,7 +313,7 @@ class PlanSpec extends SparkSpec {
     // single-partition one under a2's global stats and the range
     // partitioning of j2's output sort — both O(groups)/O(output), never
     // a hash repartition of the input.
-    for (name <- Seq("a2_bucketed", "j2_bucketed")) {
+    for (name <- Seq("a2_bucketed", "j1_bucketed", "j2_bucketed")) {
       val p = plan(name)
       assert(!p.contains("Exchange hashpartitioning"),
         s"$name still pays a keyed exchange:\n${p.take(1500)}")
