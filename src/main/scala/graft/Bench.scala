@@ -282,11 +282,18 @@ object Bench {
     // point and a catalog lookup afterwards. Skipped when both bucketed
     // queries are skipped.
     val bkt0 = System.nanoTime()
-    val bktNeeded = !(skipQ("a2_bucketed") && skipQ("j2_bucketed") &&
-      skipQ("j1_bucketed"))
+    // layout-granular gating (r20 ADVICE): ingest only layouts whose
+    // consumer queries survive the skip filter — a disk-constrained
+    // sweep skipping a2_bucketed must not still write lineitem's copy
+    val bktNeeded = graft.ops.Tables.layoutConsumers.values
+      .exists(_.exists(q => !skipQ(q)))
+    var bktCold = false
     val bktOk =
       if (!bktNeeded) false
-      else try { graft.ops.Tables.ingestDeclaredLayouts(spark, sfDir); true }
+      else try {
+        bktCold = graft.ops.Tables.ingestDeclaredLayouts(spark, sfDir, skipQ)
+        true
+      }
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] bucketed_ingest FAILED: ${e.getClass.getName}: ${e.getMessage}")
@@ -380,7 +387,14 @@ object Bench {
       if (skipQ.isEmpty) ""
       else skipQ.toSeq.sorted.map("\"" + _ + "\"")
         .mkString(""","skipped_queries":[""", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"$skipPart$ratioPart}"""
+    // whether the bucketed_ingest line measured a COLD write (first-ever
+    // sweep at this scale point) or an on-disk re-register (~100x
+    // cheaper) — without the flag, totals were not comparable
+    // round-over-round (r20 ADVICE)
+    val bktPart =
+      if (!bktNeeded) ""
+      else s""","bucketed_ingest_cold":$bktCold"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"$skipPart$bktPart$ratioPart}"""
     println(line)
     // Also persist the line whole: the driver's round artifact captures
     // only the sbt output tail, which truncates the per-query map on big

@@ -87,6 +87,14 @@ object GraftFunctions {
           L2SqF32(children(0), children(1))
         }),
       (
+        FunctionIdentifier("nearest_cell"),
+        new ExpressionInfo(classOf[NearestCell].getName, "nearest_cell"),
+        (children: Seq[Expression]) => {
+          require(children.length == 2,
+            "nearest_cell(vec, cents) takes exactly 2 arguments")
+          NearestCell(children(0), children(1))
+        }),
+      (
         FunctionIdentifier("word_shingles"),
         new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
         (children: Seq[Expression]) => {

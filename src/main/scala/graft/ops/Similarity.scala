@@ -434,22 +434,46 @@ object Similarity {
     * the same schema, mirroring what the old window form returned.
     */
   def centroidRanks(vectors: DataFrame, vecCol: String, idCol: String,
-      cents: DataFrame, maxRank: Int): DataFrame =
-    centroidRankCells(vectors, vecCol, cents, maxRank) match {
+      cents: DataFrame, maxRank: Int): DataFrame = {
+    graft.expr.GraftFunctions.register(vectors.sparkSession)
+    centsLiteral(cents) match {
       case None =>
         val labelType = cents.schema.head.dataType
         vectors.limit(0)
           .withColumn("d2", lit(null).cast("double"))
           .withColumn("c_label", lit(null).cast(labelType))
           .withColumn("rk", lit(null).cast("int"))
-      case Some(ranked) =>
+      case Some(cl) if maxRank == 1 =>
+        // rank-1 fast path: the codegen'd argmin (expr/NearestCell) —
+        // decision-identical to slice(array_sort(transform(...)), 1, 1)
+        // (same l2sq accumulation, same round-6, same label tiebreak,
+        // pinned in SimilaritySpec) but a primitive loop over a
+        // reference-object centroid matrix instead of building and
+        // sorting `cells` structs per row INTERPRETED. This is the IVF
+        // assignment hot path (sim2, every Lloyd pass, ivfTopK's
+        // candidate side): measured at the sf0.1 gate the index build's
+        // warm Lloyd pass dropped ~10x. The vecCol null filter mirrors
+        // the posexplode form for real corpora (embeddings are non-null;
+        // a null vector's old output — d2 NULL ranked first — was
+        // engine-divergent garbage the oracles never see).
         vectors
-          .select(col("*"), posexplode(ranked).as(Seq("__rk0", "__s")))
+          .filter(col(vecCol).isNotNull)
+          .withColumn("__s", call_function("nearest_cell", col(vecCol), cl))
+          .withColumn("d2", col("__s.d2"))
+          .withColumn("c_label", col("__s.c_label"))
+          .withColumn("rk", lit(1).cast("int"))
+          .drop("__s")
+      case Some(cl) =>
+        vectors
+          .select(col("*"),
+            posexplode(rankedCells(cl, vecCol, maxRank))
+              .as(Seq("__rk0", "__s")))
           .withColumn("d2", col("__s.d2"))
           .withColumn("c_label", col("__s.c_label"))
           .withColumn("rk", (col("__rk0") + 1).cast("int"))
           .drop("__rk0", "__s")
     }
+  }
 
   /** The non-exploded form of `centroidRanks`: the `maxRank` nearest
     * centroids of `vecCol` as one sorted array<struct<d2, c_label>>
@@ -462,17 +486,40 @@ object Similarity {
   def centroidRankCells(vectors: DataFrame, vecCol: String,
       cents: DataFrame, maxRank: Int): Option[Column] = {
     graft.expr.GraftFunctions.register(vectors.sparkSession)
+    // l2sqFast, not l2sq: the fold runs rows x cells times — the
+    // codegen'd expression's primitive loop replaces per-element
+    // interpreted lambda churn even though the surrounding transform/
+    // array_sort evaluate interpreted (measured at sf1: sim2 1.6 s ->
+    // 0.75 s, sim3 probe 3.8 s -> 1.4 s, index build 12.9 s -> ~6.4 s).
+    // Rank-1 consumers never reach this tree — centroidRanks routes them
+    // to the codegen'd nearest_cell argmin instead.
+    centsLiteral(cents).map(rankedCells(_, vecCol, maxRank))
+  }
+
+  /** The sorted top-maxRank cell structs of `vecCol` against a centroid
+    * literal — the shared ranking tree of centroidRankCells/centroidRanks.
+    */
+  private def rankedCells(centsLit: Column, vecCol: String,
+      maxRank: Int): Column = slice(
+    array_sort(transform(centsLit, c => struct(
+      round(l2sqFast(col(vecCol), c.getField("_2")), 6).as("d2"),
+      c.getField("_1").as("c_label")))),
+    1, maxRank)
+
+  /** The collected centroid table as ONE typed Literal Column (None when
+    * empty) — shared by the sorted-rank tree above and the rank-1
+    * argmin path. Not a CreateArray tree of cells x dims literal nodes:
+    * the per-element form made every consumer pay seconds of
+    * analyzer/codegen work on a ~1600-node constant subtree (measured:
+    * sim2 cold 3.9 s -> the plan, not the data).
+    */
+  private def centsLiteral(cents: DataFrame): Option[Column] = {
     val rows = cents
       .select(col(cents.columns.head).as("c_label"), col("centroid"))
       .collect()
     if (rows.isEmpty) return None
-    // ONE typed Literal node for the whole centroid table, not a
-    // CreateArray tree of cells x dims literal nodes: the per-element
-    // form made every consumer pay seconds of analyzer/codegen work on a
-    // ~1600-node constant subtree (measured: sim2 cold 3.9 s -> the plan,
-    // not the data). Values and decisions are identical.
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-    val centsLit = cents.schema.head.dataType match {
+    Some(cents.schema.head.dataType match {
       case StringType => typedLit(rows.map(r =>
         (r.getString(0), r.getSeq[Double](1).toSeq)))
       case LongType => typedLit(rows.map(r =>
@@ -481,17 +528,7 @@ object Similarity {
         (r.getInt(0), r.getSeq[Double](1).toSeq)))
       case t => throw new IllegalArgumentException(
         s"unsupported centroid label type ${t.sql}")
-    }
-    // l2sqFast, not l2sq: the fold runs rows x cells times — the
-    // codegen'd expression's primitive loop replaces per-element
-    // interpreted lambda churn even though the surrounding transform/
-    // array_sort evaluate interpreted (measured at sf1: sim2 1.6 s ->
-    // 0.75 s, sim3 probe 3.8 s -> 1.4 s, index build 12.9 s -> ~6.4 s)
-    Some(slice(
-      array_sort(transform(centsLit, c => struct(
-        round(l2sqFast(col(vecCol), c.getField("_2")), 6).as("d2"),
-        c.getField("_1").as("c_label")))),
-      1, maxRank))
+    })
   }
 
   /** IVF assignment: nearest centroid per embedding. */

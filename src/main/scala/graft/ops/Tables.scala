@@ -202,8 +202,17 @@ object Tables {
   def bucketed(spark: SparkSession, sfDir: String, table: String,
       key: String, cols: Seq[String], buckets: Int = 256): DataFrame =
     bucketLock.synchronized {
+      // canonical sfDir: a relative vs absolute spelling of the same
+      // directory must not mint a second multi-GB layout copy (r20
+      // ADVICE) — getCanonicalFile resolves both `.`/`..` and symlinks
+      val canonSf = new java.io.File(sfDir).getCanonicalPath
+      // logical identity of the layout MINUS the source fingerprint: two
+      // tags sharing a logicalId are the same layout at different source
+      // generations — exactly the stale copies the ingest-time GC below
+      // deletes before writing a fresh one
+      val logicalId = s"$canonSf|$table|$key|${cols.mkString(",")}|$buckets"
       val tag = {
-        val id = s"$sfDir|$key|${cols.mkString(",")}|$buckets|" +
+        val id = s"$logicalId|" +
           sourceFingerprint(s"$sfDir/$table.parquet")
         val md5 = java.security.MessageDigest.getInstance("MD5")
         md5.digest(id.getBytes("UTF-8")).take(6)
@@ -221,17 +230,100 @@ object Tables {
                |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
                |LOCATION '${loc.toURI}'""".stripMargin)
         } else {
+          // GC stale generations BEFORE paying the write (r20 ADVICE):
+          // on the sf100 box abandoned multi-GB copies accumulate toward
+          // the exact ENOSPC the bench's disk barrier exists to avoid
+          gcStaleLayouts(new java.io.File(root), table, logicalId, tname)
+          lastIngestWroteFiles = true
           src.repartition(buckets, col(key))
             .write.mode("overwrite")
             .bucketBy(buckets, key).sortBy(key)
             .format("parquet").option("path", loc.toString)
             .saveAsTable(tname)
+          // identity marker consumed by gcStaleLayouts of FUTURE
+          // generations; written after the data so a crashed ingest
+          // (no _SUCCESS) is itself GC-able as marker-less
+          val w = new java.io.PrintWriter(
+            new java.io.File(loc, "_graft_id"), "UTF-8")
+          try w.println(logicalId) finally w.close()
         }
       }
       spark.table(tname)
     }
 
+  /** Delete sibling layout dirs of `table` that this ingest supersedes:
+    * same logical identity but a different tag (the source was
+    * regenerated — fingerprint drift), or a graft_bkt dir with no
+    * `_graft_id` marker (a pre-marker-format or crashed ingest; its tag
+    * can never be re-derived, so it would otherwise leak forever).
+    * Scoped to names with this table's prefix so another table's layouts
+    * are untouched; a marker naming a DIFFERENT logicalId (e.g. the
+    * orders_keys vs orders_wide projections of the same source table, or
+    * another corpus) is live and kept.
+    */
+  private def gcStaleLayouts(root: java.io.File, table: String,
+      logicalId: String, keep: String): Unit = {
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete()
+    }
+    Option(root.listFiles()).getOrElse(Array.empty).foreach { d =>
+      if (d.isDirectory && d.getName.startsWith(s"graft_bkt_${table}_") &&
+          d.getName != keep) {
+        val marker = new java.io.File(d, "_graft_id")
+        val staleSameLayout = marker.isFile && {
+          val src = scala.io.Source.fromFile(marker, "UTF-8")
+          try src.getLines().next().trim == logicalId
+          finally src.close()
+        }
+        if (staleSameLayout || !marker.isFile) {
+          System.err.println(
+            s"[tables] GC stale bucketed layout ${d.getName}")
+          rmTree(d)
+        }
+      }
+    }
+  }
+
   private val bucketLock = new Object
+
+  /** True iff some `bucketed` call in this JVM actually WROTE files (as
+    * opposed to re-registering an existing on-disk layout) — Bench reads
+    * and resets this so its `bucketed_ingest` line can record whether it
+    * measured a cold write or a catalog lookup (r20 ADVICE: the two
+    * differ by ~100x and were indistinguishable in the JSON).
+    */
+  @volatile private[graft] var lastIngestWroteFiles = false
+
+  /** Scale-adaptive bucket count for the DECLARED layouts (the guide's
+    * §2 rule: partitioning derived from input size, never a constant
+    * tuned for one scale). ~64 MB of source parquet per bucket across
+    * the corpus, clamped to [32, 256]:
+    *   - one corpus-wide number (not per-table) because co-bucketed
+    *     joins (j1/j2) require BOTH sides at the same bucket count;
+    *   - floor 32 keeps bucket-local scans parallel on typical
+    *     executor-slot widths (and at every tiny corpus the write cost
+    *     is trivial anyway);
+    *   - cap 256 is the flagship sf100 shape (17 GB corpus → 256), so
+    *     committed sf100 records stay comparable.
+    * Before this sizing the fixed 256 made the sf0.1 gate pay 256-770
+    * near-empty scan tasks per bucketed query (a2/j1/j2_bucketed were
+    * 3 of the 5 slowest gate lines, ~2.5 s of pure task scheduling) and
+    * a 23 s cold ingest writing 1024 ~40 KB files — the small-files
+    * problem of guide §6 manufactured at ingest time.
+    * Env override: SPARK_GRAFT_BUCKETS (a cluster sizes this to its
+    * executor count at ingest time).
+    */
+  def defaultBuckets(sfDir: String): Int =
+    sys.env.get("SPARK_GRAFT_BUCKETS").map(_.toInt).getOrElse {
+      def sz(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles()).map(_.map(sz).sum).getOrElse(0L)
+      val corpus = Option(new java.io.File(sfDir).listFiles())
+        .map(_.filter(_.getName.endsWith(".parquet")).map(sz).sum)
+        .getOrElse(0L)
+      ((corpus / (64L << 20)).max(32L).min(256L)).toInt
+    }
 
   /** The declared bucketed layouts — single source of truth shared by
     * the a2/j1/j2 bucketed query bodies and Bench's ingest pre-warm
@@ -248,33 +340,67 @@ object Tables {
     ("orders_wide", "orders", "o_custkey",
       Seq("o_orderkey", "o_custkey", "o_totalprice")))
 
+  /** Which declared queries consume each declared layout — Bench's
+    * skip-aware ingest (r20 ADVICE: skipping a2_bucketed in a
+    * disk-constrained sweep must not still write the multi-GB lineitem
+    * copy only a2_bucketed reads).
+    */
+  val layoutConsumers: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("a2_bucketed"),
+    "customer" -> Seq("j1_bucketed", "j2_bucketed"),
+    "orders_keys" -> Seq("j2_bucketed"),
+    "orders_wide" -> Seq("j1_bucketed"))
+
   /** Resolve one of the declared bucketed layouts by name. */
   def bucketedDeclared(spark: SparkSession, sfDir: String,
       layout: String): DataFrame = {
     val (_, table, key, cols) = declaredLayouts.find(_._1 == layout)
       .getOrElse(sys.error(s"no declared bucketed layout named $layout"))
-    bucketed(spark, sfDir, table, key, cols)
+    bucketed(spark, sfDir, table, key, cols, defaultBuckets(sfDir))
   }
 
-  /** Ingest every declared layout (Bench's pre-warm; memoized on disk,
-    * so only the first-ever sweep at a scale point pays the write). */
-  def ingestDeclaredLayouts(spark: SparkSession, sfDir: String): Unit =
+  /** Ingest the declared layouts whose consumer queries survive `skipQ`
+    * (Bench's pre-warm; memoized on disk, so only the first-ever sweep
+    * at a scale point pays the write). Returns true iff any layout
+    * actually WROTE files (cold ingest) rather than re-registering.
+    */
+  def ingestDeclaredLayouts(spark: SparkSession, sfDir: String,
+      skipQ: Set[String] = Set.empty): Boolean = {
+    lastIngestWroteFiles = false
     declaredLayouts.foreach { case (name, _, _, _) =>
-      bucketedDeclared(spark, sfDir, name) }
+      if (layoutConsumers(name).exists(q => !skipQ(q)))
+        bucketedDeclared(spark, sfDir, name)
+    }
+    lastIngestWroteFiles
+  }
 
-  /** (total bytes, newest mtime) of a parquet file-or-directory — the
-    * cheap drift detector for the bucketed-table tag. Non-local schemes
-    * (the mock object store) see (0,0): their tests never bucket.
+  /** Drift detector for the bucketed-table tag: file count + newest
+    * mtime + a hash over every (relative name, size) — one cheap local
+    * listing, but a regeneration that preserves total bytes within the
+    * mtime granularity still flips the per-file hash (r20 ADVICE; the
+    * old total-size+mtime pair could miss it). A MISSING source path
+    * fails loudly instead of returning a constant: a constant meant any
+    * future non-local corpus would silently reuse stale buckets.
     */
   private def sourceFingerprint(path: String): String = {
-    def walk(f: java.io.File): (Long, Long) =
-      if (f.isFile) (f.length, f.lastModified)
-      else Option(f.listFiles()).map(_.map(walk))
-        .filter(_.nonEmpty)
-        .map(ps => (ps.map(_._1).sum, ps.map(_._2).max))
-        .getOrElse((0L, 0L))
-    val (sz, mt) = walk(new java.io.File(path))
-    s"$sz:$mt"
+    val rootF = new java.io.File(path)
+    require(rootF.exists,
+      s"bucketed-layout source $path does not exist locally — " +
+        "non-local sources cannot be fingerprinted (and must not " +
+        "silently reuse a stale layout)")
+    var n = 0L
+    var mt = 0L
+    var h = 0xcbf29ce484222325L // FNV-1a over "name:size " entries
+    def walk(f: java.io.File, rel: String): Unit =
+      if (f.isFile) {
+        n += 1; mt = mt.max(f.lastModified)
+        h = s"$rel:${f.length} ".foldLeft(h)((a, c) =>
+          (a ^ c) * 0x100000001b3L)
+      } else Option(f.listFiles()).getOrElse(Array.empty)
+        .sortBy(_.getName)
+        .foreach(c => walk(c, s"$rel/${c.getName}"))
+    walk(rootF, "")
+    s"$n:$mt:${java.lang.Long.toHexString(h)}"
   }
 
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")

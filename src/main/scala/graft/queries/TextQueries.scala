@@ -109,14 +109,22 @@ object TextQueries {
         |        list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
         |      FROM documents)
         |ORDER BY doc_id""") { (s, d) =>
-      val en = TX.stopwordHits(col("tk"), stopEn)
-      val ql = TX.stopwordHits(col("tk"), stopQl)
+      // __en/__ql staged via withColumn, not inlined: each is referenced
+      // twice (its score column + the lang_guess comparison), and an
+      // inline expression tree is evaluated once PER REFERENCE — the
+      // interpreted HOF stopword filter ran 4x per row (2 lists x 2
+      // uses). Non-cheap multi-referenced aliases survive
+      // CollapseProject (the t2 staging rule), so each list is now
+      // filtered once per row. Values identical.
       T.documents(s, d)
         .select(col("doc_id"), TX.tokensLower(col("text")).as("tk"))
+        .withColumn("__en", TX.stopwordHits(col("tk"), stopEn))
+        .withColumn("__ql", TX.stopwordHits(col("tk"), stopQl))
         .select(col("doc_id"),
-          en.cast("bigint").as("score_en"),
-          ql.cast("bigint").as("score_ql"),
-          when(en >= ql, "en").otherwise("ql").as("lang_guess"))
+          col("__en").cast("bigint").as("score_en"),
+          col("__ql").cast("bigint").as("score_ql"),
+          when(col("__en") >= col("__ql"), "en").otherwise("ql")
+            .as("lang_guess"))
         .orderBy("doc_id")
     },
 

@@ -97,4 +97,49 @@ class BucketedSpec extends SparkSpec {
       Seq("k", "v"), buckets = 2).count() == 3,
       "stale bucketed layout served after the source was regenerated")
   }
+
+  test("re-ingest GCs the superseded generation's files (r21)") {
+    // r20 ADVICE: abandoned layout generations (fingerprint drift)
+    // accumulated multi-GB dirs toward ENOSPC on the sf100 box. The
+    // ingest path now deletes same-logical-identity siblings whose tag
+    // differs, and ONLY those — another table's layouts stay.
+    import spark.implicits._
+    val src = tmpDir()
+    val root = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR", "scratch/bucketed"))
+    // per-run table names: layout dirs persist across JVMs by DESIGN, so
+    // a fixed name would see live leftovers of earlier test runs (their
+    // logicalId names a different tmp src — correctly NOT GC'd)
+    val run = java.lang.Long.toHexString(System.nanoTime())
+    val gcT = s"gcme$run"
+    val keepT = s"keepme$run"
+    def gens(t: String) = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(s"graft_bkt_${t}_"))
+      .map(_.getName).toSet
+    def rmAll(t: String): Unit =
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(s"graft_bkt_${t}_"))
+        .foreach { d =>
+          Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+        }
+    try {
+      Seq((1L, "a")).toDF("k", "v").write.parquet(s"$src/$gcT.parquet")
+      Seq((9L, "z")).toDF("k", "v").write.parquet(s"$src/$keepT.parquet")
+      val s1 = spark.newSession()
+      Tables.bucketed(s1, src.toString, gcT, "k", Seq("k", "v"), buckets = 2)
+      Tables.bucketed(s1, src.toString, keepT, "k", Seq("k", "v"), buckets = 2)
+      val g1 = gens(gcT)
+      val keep1 = gens(keepT)
+      assert(g1.size == 1 && keep1.size == 1)
+      Thread.sleep(5)
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").write
+        .mode("overwrite").parquet(s"$src/$gcT.parquet")
+      val s2 = spark.newSession()
+      Tables.bucketed(s2, src.toString, gcT, "k", Seq("k", "v"), buckets = 2)
+      val g2 = gens(gcT)
+      assert(g2.size == 1 && g2 != g1,
+        s"stale generation not GC'd: $g2 (was $g1)")
+      assert(gens(keepT) == keep1, "GC touched an unrelated table's layout")
+    } finally { rmAll(gcT); rmAll(keepT) }
+  }
 }

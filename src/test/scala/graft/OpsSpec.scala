@@ -323,6 +323,52 @@ class DedupSpec extends SparkSpec {
 
 class SimilaritySpec extends SparkSpec {
 
+  test("nearest_cell rank-1 path == sorted-HOF ranking exactly (incl. ties)") {
+    // r21 optimization: centroidRanks(maxRank = 1) routes to the
+    // codegen'd argmin (expr/NearestCell) instead of building + sorting
+    // `cells` structs per row interpreted. This pin proves the two forms
+    // decision-identical — same rounded d2, same label-ascending
+    // tiebreak — on (a) engineered exact ties (duplicate centroid
+    // positions under different labels) and (b) the real embeddings
+    // corpus with int labels.
+    import org.apache.spark.sql.functions._
+    graft.expr.GraftFunctions.register(spark)
+    val S = graft.ops.Similarity
+    def slowRank1(vecs: org.apache.spark.sql.DataFrame,
+        cents: org.apache.spark.sql.DataFrame) = {
+      val ranked = S.centroidRankCells(vecs, "embedding", cents, 1).get
+      vecs.select(col("*"), posexplode(ranked).as(Seq("__rk0", "__s")))
+        .select(col("vec_id"), col("__s.d2").as("d2"),
+          col("__s.c_label").as("c_label"),
+          (col("__rk0") + 1).cast("int").as("rk"))
+    }
+    def fastRank1(vecs: org.apache.spark.sql.DataFrame,
+        cents: org.apache.spark.sql.DataFrame) =
+      S.centroidRanks(vecs, "embedding", "vec_id", cents, 1)
+        .select("vec_id", "d2", "c_label", "rk")
+    // (a) ties: labels 0..5 but only 3 distinct positions (id % 3), so
+    // every vector ties two labels on d2 and the smaller label must win
+    val vecs = spark.range(0, 200).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        j => ((col("id") % 10) + j).cast("float")).as("embedding"))
+    val tied = spark.range(0, 6).select(col("id").as("c_label"),
+      transform(sequence(lit(0), lit(7)),
+        j => ((col("id") % 3) + j).cast("double")).as("centroid"))
+    val fa = fastRank1(vecs, tied)
+    val sa = slowRank1(vecs, tied)
+    assert(fa.exceptAll(sa).isEmpty && sa.exceptAll(fa).isEmpty,
+      "tie corpus: fast/slow rank-1 disagree")
+    assert(fa.filter(col("c_label") >= 3).isEmpty,
+      "tie corpus: label-ascending tiebreak violated")
+    // (b) real corpus, int labels via label-partition centroids
+    val emb = graft.ops.Tables.embeddings(spark, sf("sf0.001"))
+    val cents = S.centroids(emb, "embedding", "label")
+    val fb = fastRank1(emb, cents)
+    val sb = slowRank1(emb, cents)
+    assert(fb.exceptAll(sb).isEmpty && sb.exceptAll(fb).isEmpty,
+      "embeddings corpus: fast/slow rank-1 disagree")
+  }
+
   test("kmeansIndex cache is session-free, cross-session, and bounded") {
     // regression for the WeakHashMap-with-DataFrame-values cache, whose
     // value→key strong reference pinned every session that ever built an
