@@ -445,8 +445,12 @@ object GeoQueries {
       """SELECT i, j, round(i * 45.0, 9) AS wx, round(j * 45.0, 9) AS wy
         |FROM generate_series(0, 8) t(i), generate_series(0, 10) s(j)
         |ORDER BY i, j""") { (s, d) =>
-      s.range(0, 9).select(col("id").as("i"))
-        .crossJoin(s.range(0, 11).select(col("id").as("j")))
+      // single-partition ranges: the default parallelism split 9 and 11
+      // constants across 32 partitions each — ~100 near-empty tasks for
+      // 99 output rows (pure scheduling; r21 ProfQ). Constant-size
+      // inputs, so one partition is the scale-correct shape too.
+      s.range(0, 9, 1, 1).select(col("id").as("i"))
+        .crossJoin(s.range(0, 11, 1, 1).select(col("id").as("j")))
         .select(col("i"), col("j"),
           round(col("i") * 45.0, 9).as("wx"),
           round(col("j") * 45.0, 9).as("wy"))
@@ -655,11 +659,19 @@ object GeoQueries {
       """SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
         |  0.0 + floor(CAST(unnest(embedding) AS DOUBLE) * 0.9 * 1e9 + 0.5) / 1e9 AS lum
         |FROM embeddings ORDER BY vec_id, pos""") { (s, d) =>
+      // scale + explode ABOVE the total sort (r21): vec_id is unique, so
+      // sorting vectors by vec_id and THEN exploding yields exactly the
+      // declared (vec_id, pos) order — posexplode emits positions
+      // ascending within each row and Generate preserves the sorted row
+      // order. The exchange moves one 64-float row per vector instead of
+      // 64 exploded rows, and the transform runs once (not per
+      // sort-sampling pass).
       T.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .orderBy("vec_id")
         .select(col("vec_id"),
           posexplode(G.luminanceScale(col("embedding"))).as(Seq("pos", "lum")))
         .select(col("vec_id"), col("pos"), r9(col("lum")).as("lum"))
-        .orderBy("vec_id", "pos")
     }
   )
 }

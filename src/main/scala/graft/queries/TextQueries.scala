@@ -35,13 +35,20 @@ object TextQueries {
       // sf1 under honest timing; the single scan is value-identical
       // (pinned against the composed form in TextOpsSpec).
       graft.expr.GraftFunctions.register(s)
+      // token_stats ABOVE the total sort (the r21 x11 rule): the sort
+      // key is the unique source doc_id, so ordering is unchanged, and
+      // the char scan runs once per row after the range exchange instead
+      // of twice (range-boundary sampling consumes every child row
+      // below a sort). The exchange carries text instead of 3 longs —
+      // the scan's output either way; what changes is single evaluation.
       T.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
         .withColumn("__ts", call_function("token_stats", col("text")))
         .select(col("doc_id"),
           col("__ts.n_tokens").as("n_tokens"),
           col("__ts.n_punct").as("n_punct"),
           col("__ts.total_tok_len").as("total_tok_len"))
-        .orderBy("doc_id")
     },
 
     // Quality scoring: stopword ratio, mean token length, punct ratio
@@ -73,6 +80,7 @@ object TextQueries {
       // evaluated once per row.
       graft.expr.GraftFunctions.register(s)
       T.documents(s, d)
+        .select(col("doc_id"), col("text"))
         // len(tk) > 0 (oracle form) == text has a char outside the
         // tokenizer's whitespace set. That set is exactly Java's \s
         // (TextExprs.scala:386), so rlike "\S" is value-identical to
@@ -84,6 +92,12 @@ object TextQueries {
         // whole token_stats char scan per row. n_tokens > 0 implies
         // length(text) > 0, covering the oracle's second conjunct.
         .filter(col("text").rlike("\\S"))
+        // scoring chain ABOVE the total sort (the r21 x11 rule): sort key
+        // = unique source doc_id, so ordering is unchanged and the two
+        // token_stats scans + tokenizer + stopword filter run once per
+        // row after the range exchange instead of twice (range-boundary
+        // sampling consumes every child row below a sort)
+        .orderBy("doc_id")
         .withColumn("__tsl", call_function("token_stats", lower(col("text"))))
         .select(col("doc_id"),
           round(TX.stopwordHits(TX.tokensLower(col("text")), stopEn)
@@ -92,7 +106,6 @@ object TextQueries {
             col("__tsl.n_tokens"), 6).as("mean_tok_len"),
           round(call_function("token_stats", col("text")).getField("n_punct")
             .cast("double") / length(col("text")), 6).as("punct_ratio"))
-        .orderBy("doc_id")
     },
 
     // Language ID by stopword-list scoring (n-gram-free heuristic):
@@ -115,17 +128,20 @@ object TextQueries {
       // interpreted HOF stopword filter ran 4x per row (2 lists x 2
       // uses). Non-cheap multi-referenced aliases survive
       // CollapseProject (the t2 staging rule), so each list is now
-      // filtered once per row. Values identical.
+      // filtered once per row. The whole chain sits ABOVE the total sort
+      // (the r21 x11 rule — sort key is the unique source doc_id) so it
+      // runs once, not per sort-sampling pass. Values identical.
       T.documents(s, d)
-        .select(col("doc_id"), TX.tokensLower(col("text")).as("tk"))
-        .withColumn("__en", TX.stopwordHits(col("tk"), stopEn))
-        .withColumn("__ql", TX.stopwordHits(col("tk"), stopQl))
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+        .withColumn("__tk", TX.tokensLower(col("text")))
+        .withColumn("__en", TX.stopwordHits(col("__tk"), stopEn))
+        .withColumn("__ql", TX.stopwordHits(col("__tk"), stopQl))
         .select(col("doc_id"),
           col("__en").cast("bigint").as("score_en"),
           col("__ql").cast("bigint").as("score_ql"),
           when(col("__en") >= col("__ql"), "en").otherwise("ql")
             .as("lang_guess"))
-        .orderBy("doc_id")
     },
 
     // Exact dedup: md5(content) groupBy, keep smallest id
@@ -156,14 +172,21 @@ object TextQueries {
       // string materialization. The HOF form (TX.charGrams +
       // array_distinct) is the parity twin, pinned in TextOpsSpec.
       graft.expr.GraftFunctions.register(s)
+      // normalization + distinct counter ABOVE the total sort (the r21
+      // x11 rule; doc_id is the unique sort key): the regexp_replace and
+      // the gram counter run once per surviving row instead of twice.
+      // The length filter still pushes below the sort (substituted into
+      // the scan-side predicate), which is correct — dropped rows never
+      // enter the exchange.
       T.documents(s, d)
-        .select(col("doc_id"), TX.normalized(col("text")).as("norm"))
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+        .withColumn("norm", TX.normalized(col("text")))
         .filter(length(col("norm")) >= 3)
         .select(col("doc_id"),
           (length(col("norm")) - 2).cast("bigint").as("n_grams"),
           call_function("chargram_distinct", col("norm"), lit(3))
             .cast("bigint").as("n_distinct"))
-        .orderBy("doc_id")
     },
 
     // Near-dup candidate pairs: shingles(3) -> 8 MinHashes -> 4 bands of 2
@@ -281,14 +304,21 @@ object TextQueries {
         |FROM sums GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
       // codegen'd one-pass form; the HOF reference twin (TX.simhash32)
       // evaluates 32 interpreted pow/floor lambdas per TOKEN — equality
-      // of the two forms is pinned in DedupSpec
+      // of the two forms is pinned in DedupSpec.
+      // r21: the md5-per-token fingerprint sits ABOVE the total sort
+      // (x11 rule; doc_id unique) so it runs once, not per sort-sampling
+      // pass, and the guard is the scan-pushable rlike "\S" — value-
+      // identical to size(tokensLower(text)) > 0 (the t2 predicate pin:
+      // the tokenizer's whitespace set IS Java's \s) without running the
+      // tokenizer below the sort at all.
       graft.expr.GraftFunctions.register(s)
       T.documents(s, d)
-        .select(col("doc_id"), TX.tokensLower(col("text")).as("tk"))
-        .filter(size(col("tk")) > 0)
-        .select(col("doc_id"),
-          call_function("simhash32_bits", col("tk")).as("simhash"))
+        .select(col("doc_id"), col("text"))
+        .filter(col("text").rlike("\\S"))
         .orderBy("doc_id")
+        .select(col("doc_id"),
+          call_function("simhash32_bits", TX.tokensLower(col("text")))
+            .as("simhash"))
     },
 
     // BPE-ish sub-word tokenizer (letter runs / digit runs / single
@@ -309,12 +339,15 @@ object TextQueries {
       // codegen'd one-pass byte scan is value-identical (pinned against
       // the composed form in OpsSpec) — expr/TextExprs.scala BpeStats.
       graft.expr.GraftFunctions.register(s)
+      // bpe_stats ABOVE the total sort (r21 x11 rule; doc_id unique):
+      // one byte-scan per row instead of two
       T.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
         .withColumn("__bs", call_function("bpe_stats", col("text")))
         .select(col("doc_id"),
           col("__bs.n_bpe").as("n_bpe"),
           col("__bs.n_bpe_distinct").as("n_bpe_distinct"))
-        .orderBy("doc_id")
     },
 
     // Winnowing document fingerprint (rolling-hash k-grams + window
@@ -342,11 +375,19 @@ object TextQueries {
         |  unnest(fps) AS fp
         |FROM m ORDER BY doc_id, pos""") { (s, d) =>
       graft.expr.GraftFunctions.register(s)
+      // winnow + explode ABOVE the total sort (r21): doc_id is unique,
+      // so sorting docs by doc_id and THEN exploding yields exactly the
+      // declared (doc_id, pos) order — posexplode emits positions
+      // ascending within each row and Generate/Project preserve the
+      // sorted row order. The rolling-hash fingerprint runs once per doc
+      // (not per sort-sampling pass) and the exchange moves one row per
+      // doc instead of one per fingerprint.
       T.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
         .select(col("doc_id"),
           TX.winnowFingerprintsFast(col("text"), 8, 4).as("fps"))
         .select(col("doc_id"), posexplode(col("fps")).as(Seq("pos", "fp")))
-        .orderBy("doc_id", "pos")
     },
 
     // SimHash near-dup JOIN (not just the fingerprint): 64-bit simhash ->
@@ -431,14 +472,15 @@ object TextQueries {
         |SELECT doc_id,
         |  string_agg(CASE WHEN c > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
         |FROM sums GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
-      // same codegen'd form as the full t7 (see its note)
+      // same codegen'd compute-above-sort form as the full t7 (its note)
       graft.expr.GraftFunctions.register(s)
       T.documents(s, d).filter(col("doc_id") % 50 === 0)
-        .select(col("doc_id"), TX.tokensLower(col("text")).as("tk"))
-        .filter(size(col("tk")) > 0)
-        .select(col("doc_id"),
-          call_function("simhash32_bits", col("tk")).as("simhash"))
+        .select(col("doc_id"), col("text"))
+        .filter(col("text").rlike("\\S"))
         .orderBy("doc_id")
+        .select(col("doc_id"),
+          call_function("simhash32_bits", TX.tokensLower(col("text")))
+            .as("simhash"))
     },
 
     QueryDef("t11_slice_simhash_near_dup",
@@ -555,12 +597,14 @@ object TextQueries {
         |SELECT doc_id, generate_subscripts(fps, 1) - 1 AS pos,
         |  unnest(fps) AS fp
         |FROM m ORDER BY doc_id, pos""") { (s, d) =>
+      // same compute-above-sort form as the full t10 (its note)
       graft.expr.GraftFunctions.register(s)
       T.documents(s, d).filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
         .select(col("doc_id"),
           TX.winnowFingerprintsFast(col("text"), 8, 4).as("fps"))
         .select(col("doc_id"), posexplode(col("fps")).as(Seq("pos", "fp")))
-        .orderBy("doc_id", "pos")
     },
 
     // t8's slice twin: the full Jaccard-verify oracle is the single
