@@ -292,6 +292,19 @@ object Bench {
       if (!bktNeeded) false
       else try {
         bktCold = graft.ops.Tables.ingestDeclaredLayouts(spark, sfDir, skipQ)
+        // Read every ingested layout through ONCE inside this timed line:
+        // first-access I/O (OS page cache cold on a freshly written or
+        // freshly booted layout) belongs to ingest, not to whichever
+        // bucketed query happens to run first in the sweep. Without this
+        // the r21 driver's 32-core run charged a2/j2_bucketed 2.2 s for
+        // the cold first read of files its own ingest had just written,
+        // while its 8-core run minutes later read 0.33 s (r21 VERDICT
+        // item 3). toRdd.count() materializes every column of every row
+        // (same coverage as the noop sink, guide §1.4).
+        graft.ops.Tables.declaredLayouts.foreach { case (name, _, _, _) =>
+          if (graft.ops.Tables.layoutConsumers(name).exists(q => !skipQ(q)))
+            runFull(graft.ops.Tables.bucketedDeclared(spark, sfDir, name))
+        }
         true
       }
       catch {
@@ -390,9 +403,13 @@ object Bench {
     // whether the bucketed_ingest line measured a COLD write (first-ever
     // sweep at this scale point) or an on-disk re-register (~100x
     // cheaper) — without the flag, totals were not comparable
-    // round-over-round (r20 ADVICE)
+    // round-over-round (r20 ADVICE). null when the ingest FAILED: a
+    // failed ingest is neither cold nor warm, and `false` there made a
+    // failure indistinguishable from a successful re-register (r21
+    // ADVICE)
     val bktPart =
       if (!bktNeeded) ""
+      else if (!bktOk) ""","bucketed_ingest_cold":null"""
       else s""","bucketed_ingest_cold":$bktCold"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"$skipPart$bktPart$ratioPart}"""
     println(line)

@@ -70,6 +70,18 @@ case class NearestCell(left: Expression, right: Expression)
       TypeCheckResult.TypeCheckFailure(
         "nearest_cell expects a FOLDABLE array<struct<label int|bigint|" +
           s"string, array<double>>> centroid table, got ${right.dataType.sql}")
+    else if ({
+      // an EMPTY (or null) centroid table has no argmin; rejecting it at
+      // analysis matches centsLiteral's None-on-empty contract — without
+      // this the codegen path treated argmin's Java null as a non-null
+      // InternalRow and NPE'd downstream (r21 ADVICE)
+      val t = right.eval(null)
+      t == null ||
+        t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .numElements() == 0
+    })
+      TypeCheckResult.TypeCheckFailure(
+        "nearest_cell requires a non-empty centroid table")
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = StructType(Seq(

@@ -464,7 +464,13 @@ object Similarity {
           .withColumn("rk", lit(1).cast("int"))
           .drop("__s")
       case Some(cl) =>
+        // same null-vector filter as the rank-1 fast path above, so the
+        // two branches agree in cardinality for any input (r21 ADVICE:
+        // the declared corpora are non-null, but a divergent null policy
+        // between rank-1 and rank-N was a latent asymmetry — Lloyd
+        // counts and ivfTopK's candidate/query sides must match)
         vectors
+          .filter(col(vecCol).isNotNull)
           .select(col("*"),
             posexplode(rankedCells(cl, vecCol, maxRank))
               .as(Seq("__rk0", "__s")))

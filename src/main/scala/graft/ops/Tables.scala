@@ -276,10 +276,24 @@ object Tables {
           try src.getLines().next().trim == logicalId
           finally src.close()
         }
-        if (staleSameLayout || !marker.isFile) {
+        // marker-less dirs are GC'd only past a safety window: the
+        // marker is written AFTER saveAsTable and bucketLock is
+        // JVM-local, so a SECOND JVM's in-flight ingest of a sibling
+        // layout (Bench + tests on one box) is marker-less while healthy
+        // — deleting it mid-write corrupts that ingest (r21 ADVICE). A
+        // genuinely crashed/pre-marker dir ages past the window and is
+        // then collected by any later ingest of the same table.
+        val safetyMs = 6L * 3600 * 1000
+        val abandonedNoMarker = !marker.isFile &&
+          d.lastModified < System.currentTimeMillis() - safetyMs
+        if (staleSameLayout || abandonedNoMarker) {
           System.err.println(
             s"[tables] GC stale bucketed layout ${d.getName}")
           rmTree(d)
+        } else if (!marker.isFile) {
+          System.err.println(
+            s"[tables] keeping recent marker-less layout ${d.getName} " +
+              "(possible in-flight ingest of another JVM)")
         }
       }
     }

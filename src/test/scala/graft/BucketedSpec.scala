@@ -142,4 +142,38 @@ class BucketedSpec extends SparkSpec {
       assert(gens(keepT) == keep1, "GC touched an unrelated table's layout")
     } finally { rmAll(gcT); rmAll(keepT) }
   }
+
+  test("GC keeps a RECENT marker-less sibling, collects an aged one (r22)") {
+    // r21 ADVICE (medium): the _graft_id marker lands only AFTER
+    // saveAsTable and bucketLock is JVM-local, so a sibling dir another
+    // JVM is mid-ingest is healthy-but-marker-less; GC must not delete
+    // it. Aged marker-less dirs (crashed/pre-marker ingests) still go.
+    import spark.implicits._
+    val src = tmpDir()
+    val root = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BUCKET_DIR", "scratch/bucketed"))
+    root.mkdirs()
+    val run = java.lang.Long.toHexString(System.nanoTime())
+    val t = s"inflight$run"
+    def dirs() = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(s"graft_bkt_${t}_"))
+    def rmAll(): Unit = dirs().foreach { d =>
+      Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+    }
+    try {
+      // two fake marker-less siblings: one fresh (in-flight), one aged
+      val fresh = new java.io.File(root, s"graft_bkt_${t}_fresh0")
+      val aged = new java.io.File(root, s"graft_bkt_${t}_aged00")
+      fresh.mkdirs(); aged.mkdirs()
+      aged.setLastModified(System.currentTimeMillis() - 7L * 3600 * 1000)
+      Seq((1L, "a")).toDF("k", "v").write.parquet(s"$src/$t.parquet")
+      Tables.bucketed(spark.newSession(), src.toString, t, "k",
+        Seq("k", "v"), buckets = 2)
+      val names = dirs().map(_.getName).toSet
+      assert(names.contains(s"graft_bkt_${t}_fresh0"),
+        "GC deleted a recent marker-less sibling (possible in-flight ingest)")
+      assert(!names.contains(s"graft_bkt_${t}_aged00"),
+        "GC failed to collect an aged marker-less dir")
+    } finally { rmAll() }
+  }
 }
