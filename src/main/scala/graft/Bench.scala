@@ -43,6 +43,37 @@ object Bench {
   def runFull(df: org.apache.spark.sql.DataFrame): Long =
     df.queryExecution.toRdd.count()
 
+  /** Generic Spark-machinery warmup: parquet write+read roundtrip under
+    * java.io.tmpdir, a hash aggregate, a sort, a persist cycle — all on
+    * `spark.range` data. Exercises the one-time costs (parquet
+    * reader/writer init, janino codegen of the first real plan shapes,
+    * block-manager persist paths) that otherwise land on whichever
+    * timed line runs first in a fresh JVM. Touches NO testdata and
+    * computes NO declared query, so it cannot pre-compute or cache any
+    * benched result — it is the same class of warmup as the existing
+    * range-sum line, just covering more of the machinery.
+    */
+  def machineryWarmup(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_warm").toFile
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete()
+    }
+    try {
+      val p = s"${dir.getAbsolutePath}/w.parquet"
+      spark.range(0, 10000)
+        .selectExpr("id", "cast(id % 97 as double) as v",
+          "array(cast(id as float), cast(id + 1 as float)) as vec")
+        .write.mode("overwrite").parquet(p)
+      val r = spark.read.parquet(p)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.orderBy("id").limit(5).collect()
+      r.groupBy(expr("id % 7")).agg(sum("v"), count("*")).collect()
+      r.unpersist(false)
+    } finally rmTree(dir)
+  }
+
   /** Inter-query disk barrier: wait (GC-assisted) until the spill
     * filesystem has at least `minFreeBytes` usable before starting the
     * next query. At sf100 a heavy query's spill tail (x11_center_crop:
@@ -245,6 +276,15 @@ object Bench {
     // warm up JVM/codegen so the alphabetically-first query doesn't absorb
     // several seconds of one-time startup in its reported time
     spark.range(1000).selectExpr("sum(id)").collect()
+    // ...and the heavier machinery (parquet reader/writer init, janino
+    // codegen of real plan shapes, persist paths) that the range-sum
+    // does not touch. Measured attribution (scratch/profidx_*.log, r22):
+    // sim3_index_build — the first timed line of every session — read
+    // 3.8 s cold of which ~2.1 s was this one-time warmup; with the
+    // machinery warmed it reads ~1.7 s (warm rebuilds ~0.8 s either
+    // way). The warmup runs on spark.range data only (no testdata, no
+    // declared query), so nothing benched is precomputed or cached.
+    machineryWarmup(spark)
     var failed = List.empty[String]
     // Index BUILD timed as its own line: a real system separates the
     // one-off IVF index build from the queries it serves. sim3's

@@ -35,20 +35,23 @@ object TextQueries {
       // sf1 under honest timing; the single scan is value-identical
       // (pinned against the composed form in TextOpsSpec).
       graft.expr.GraftFunctions.register(s)
-      // token_stats ABOVE the total sort (the r21 x11 rule): the sort
-      // key is the unique source doc_id, so ordering is unchanged, and
-      // the char scan runs once per row after the range exchange instead
-      // of twice (range-boundary sampling consumes every child row
-      // below a sort). The exchange carries text instead of 3 longs —
-      // the scan's output either way; what changes is single evaluation.
+      // token_stats BELOW the total sort — the NARROW-exchange form
+      // (r22, reverting r21's uniformity rewrite): the range exchange
+      // then carries doc_id + 3 longs (~32 B/row) instead of the full
+      // document text. The chain is a cheap one-pass char scan, so the
+      // double evaluation under the sort (range-boundary sampling) costs
+      // less than shuffling the whole corpus through the exchange —
+      // measured at sf1: 8.10 MB shuffled (text above sort) vs 0.74 MB
+      // (stats below sort) for a wall-time wash, 0.52 vs 0.50 s (§2.3:
+      // shuffle fewer bytes; the CPU term is negligible for this chain).
       T.documents(s, d)
         .select(col("doc_id"), col("text"))
-        .orderBy("doc_id")
         .withColumn("__ts", call_function("token_stats", col("text")))
         .select(col("doc_id"),
           col("__ts.n_tokens").as("n_tokens"),
           col("__ts.n_punct").as("n_punct"),
           col("__ts.total_tok_len").as("total_tok_len"))
+        .orderBy("doc_id")
     },
 
     // Quality scoring: stopword ratio, mean token length, punct ratio
@@ -339,15 +342,19 @@ object TextQueries {
       // codegen'd one-pass byte scan is value-identical (pinned against
       // the composed form in OpsSpec) — expr/TextExprs.scala BpeStats.
       graft.expr.GraftFunctions.register(s)
-      // bpe_stats ABOVE the total sort (r21 x11 rule; doc_id unique):
-      // one byte-scan per row instead of two
+      // bpe_stats BELOW the total sort — the NARROW-exchange form (r22,
+      // reverting r21's uniformity rewrite; same rationale as t1): the
+      // exchange carries doc_id + 2 longs instead of the corpus text
+      // (sf1: 8.10 → 0.60 MB shuffled, wall 0.31 vs 0.40 s — the small
+      // local CPU cost of the sample-pass double scan is the price of a
+      // 13x narrower exchange, the term that grows at 100 TB).
       T.documents(s, d)
         .select(col("doc_id"), col("text"))
-        .orderBy("doc_id")
         .withColumn("__bs", call_function("bpe_stats", col("text")))
         .select(col("doc_id"),
           col("__bs.n_bpe").as("n_bpe"),
           col("__bs.n_bpe_distinct").as("n_bpe_distinct"))
+        .orderBy("doc_id")
     },
 
     // Winnowing document fingerprint (rolling-hash k-grams + window
