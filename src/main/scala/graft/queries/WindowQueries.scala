@@ -57,7 +57,22 @@ object WindowQueries {
         |WHERE n = 5 AND next_n = 5
         |  AND next_start_ns - end_ns > 12000000000
         |ORDER BY group_id""") { (s, d) =>
-      Windows.gapSessionsScalable(eventsUsGrid(s, d), "event_id", "ts")
+      // ADAPTIVE small-input switch (r22; mirrors Dedup's cost-based
+      // path choice and Bench's corpus-sized session shape): below
+      // ~64 MB of estimated input the scalable form's 4 jobs (persist +
+      // count + number + self-join) are pure job-floor overhead — the
+      // faithful single-window form, proven row-identical in OpsSpec,
+      // runs 1 job (measured: 0.32 vs 1.04 s at sf0.1, 1.11 vs 2.69 s
+      // at sf1). Above the threshold the scale-safe numbering stands:
+      // one window task over >64 MB is exactly the funnel it exists to
+      // avoid. Threshold env-overridable for cluster-side tuning.
+      val ev = eventsUsGrid(s, d)
+      val smallBytes = sys.env.get("SPARK_GRAFT_W2_SMALL_BYTES")
+        .map(_.toLong).getOrElse(64L << 20)
+      val est = ev.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est <= smallBytes)
+        Windows.gapSessions(ev.select("event_id", "ts"), "event_id", "ts")
+      else Windows.gapSessionsScalable(ev, "event_id", "ts")
     },
 
     // W10: the FAITHFUL single-ordered-window gap form (Windows.gapSessions

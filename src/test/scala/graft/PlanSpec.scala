@@ -167,6 +167,16 @@ class PlanSpec extends SparkSpec {
       s"w9 reintroduced a global window:\n${p.take(1200)}")
   }
 
+  test("w2 declared: adaptive switch picks the 1-job window form on a tiny corpus") {
+    // r22 adaptive small-input switch: the declared w2 routes tiny inputs
+    // (estimated < 64 MB) to the faithful single-window form (1 job
+    // instead of the scalable numbering's 4; row-identity of the two
+    // forms is pinned in OpsSpec). The op itself (next test) never
+    // reintroduces a window — the switch lives in the query body.
+    assert(plan("w2_gap_sessions").contains("Window"),
+      "tiny-corpus w2 did not take the single-window fast path")
+  }
+
   test("w2 scale twin: gap sessions without any Window operator") {
     import spark.implicits._
     val ev = (1L to 100L).map(i => (i, i * 1000000000L)).toDF("event_id", "ts")
