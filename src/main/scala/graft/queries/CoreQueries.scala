@@ -283,27 +283,17 @@ object CoreQueries {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""") { (s, d) =>
       // Broadcast can only build the RIGHT side of a left-semi, and the
-      // right side here is the fact table — so dedupe its key first.
-      // The dedup REPARTITIONS BY THE KEY BEFORE distinct (r22): a
-      // map-side partial aggregate on this key is a pessimization — keys
-      // are spread uniformly over scan tasks, so each task's hash map
-      // holds nearly every row it sees (sf100: 4.7M rows/task over 15M
-      // keys = 1.15x reduction) while costing a multi-GB on-heap map.
-      // Measured at sf100 (ProfJ2, scratch/profj2_sf100_3.log): the
-      // partial-agg distinct spent 64-128 s of cumulative task GC on a
-      // 12.5 s wall; repartition-first runs the SAME single exchange
-      // (+14% bytes: raw keys instead of partially-deduped) with the
-      // dedup after it, where each reduce task's key set is tiny —
-      // 8.7 s median, GC 21-33 s. NO broadcast() hint: a hint overrides
-      // the size threshold, and at sf100 it forced a 15M-key build-side
+      // right side here is the fact table — so dedupe its key first: the
+      // distinct partial-aggregates map-side (shuffles ~|customer| keys,
+      // not |orders| rows). NO broadcast() hint: a hint overrides the
+      // size threshold, and at sf100 it forced a 15M-key build-side
       // (collect + replicate ~120 MB per task slot — measured 15.1 s,
       // 7.7x the oracle). The planner/AQE broadcasts the deduped key set
       // exactly while it fits (pinned at gate scale in PlanSpec) and
       // shuffle-semi-joins the already-deduped keys beyond that — still
       // strictly less data moved than semi-joining raw orders.
       T.customer(s, d)
-        .join(T.orders(s, d).select("o_custkey")
-            .repartition(col("o_custkey")).distinct(),
+        .join(T.orders(s, d).select("o_custkey").distinct(),
           col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")

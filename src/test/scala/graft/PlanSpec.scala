@@ -29,23 +29,14 @@ class PlanSpec extends SparkSpec {
 
   test("j2: semi-join builds a broadcast from the DEDUPED fact key") {
     val p = plan("j2_semi_join")
-    // the fact side is deduped and the key set broadcast —
-    // BroadcastHashJoin LeftSemi, never a raw-orders shuffle semi-join
-    // on the customer side
+    // the fact side is deduped (map-side partial distinct) and the key set
+    // broadcast — BroadcastHashJoin LeftSemi, never a raw-orders shuffle
+    // semi-join on the customer side
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
       s"j2 is not a broadcast semi-join:\n${p.take(1200)}")
-    // r22: the dedup runs ABOVE its single keyed exchange (repartition
-    // by key, then distinct) — a map-side partial aggregate on this key
-    // dedups ~1.15x per task at scale while its per-task hash map
-    // GC-storms (ProfJ2, sf100: 64-128 s task GC on a 12.5 s wall vs
-    // 21-33 s repartition-first). Pin: exactly one keyed exchange on
-    // o_custkey, and NO HashAggregate below it.
     val exIdx = p.indexOf("Exchange hashpartitioning(o_custkey")
-    assert(exIdx >= 0,
-      s"j2's key dedup lost its keyed exchange:\n${p.take(1200)}")
-    assert(p.lastIndexOf("HashAggregate") < exIdx,
-      s"j2's key dedup re-grew a map-side partial below the exchange " +
-        s"(the sf100 GC storm):\n${p.take(1200)}")
+    assert(exIdx >= 0 && p.lastIndexOf("HashAggregate") > exIdx,
+      s"j2's key dedup has no map-side partial:\n${p.take(1200)}")
   }
 
   test("t4: exact dedup partial-aggregates map-side before the shuffle") {
