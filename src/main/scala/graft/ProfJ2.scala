@@ -72,13 +72,34 @@ object ProfJ2 {
     import graft.ops.{Tables => T}
     def keys = T.t(spark, sfDir, "orders").select("o_custkey")
     def dedup = keys.distinct()
+    // B-variant: repartition by the key FIRST (one exchange either way),
+    // dedup after — skips the map-side partial aggregate whose per-task
+    // hash map holds ~4.4M entries for ~6-13% reduction (keys spread
+    // uniformly over scan tasks; the GC storm measured in P1)
+    def dedupB = keys.repartition(col("o_custkey")).distinct()
     def joined = T.t(spark, sfDir, "customer")
       .join(dedup, col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_name")
-    time("P0-scan")(keys)
-    time("P1-distinct")(dedup)
-    time("P2-join")(joined)
-    time("P3-declared")(SparkEntry.queries("j2_semi_join")(spark, sfDir))
+    def joinedB = T.t(spark, sfDir, "customer")
+      .join(dedupB, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+    if (args.contains("full")) {
+      // end-to-end A/B of the two full-query shapes, ALTERNATED to
+      // cancel JVM-heap-state and box drift (the phase runs above showed
+      // strong run-order effects in one long-lived local JVM)
+      def fullA = joined.orderBy("c_custkey")
+      def fullB = joinedB.orderBy("c_custkey")
+      time("FA-1")(fullA); time("FB-1")(fullB)
+      time("FB-2")(fullB); time("FA-2")(fullA)
+      time("FA-3")(fullA); time("FB-3")(fullB)
+    } else {
+      time("P0-scan")(keys)
+      time("P1-distinct")(dedup)
+      time("P1b-repart")(dedupB)
+      time("P2-join")(joined)
+      time("P2b-join")(joinedB)
+      time("P3-declared")(SparkEntry.queries("j2_semi_join")(spark, sfDir))
+    }
     if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
       SparkEntry.queries("j2_semi_join")(spark, sfDir).explain("formatted")
     spark.stop()
