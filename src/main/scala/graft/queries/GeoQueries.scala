@@ -138,22 +138,31 @@ object GeoQueries {
 
   private def x14Body(li: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    // angles are modulo-of-integer casts (finite by construction); the
-    // translation inputs are parquet doubles, gated once at the source
-    // so every derived entry can round with the unguarded r6u
-    val base = li.select(
+    // SE(3) inverse PROJECTED ABOVE the sort (guide §2.3, the x11
+    // pattern): the four sort keys are raw attributes the output
+    // carries anyway, so the range exchange moves keys + the three
+    // gated translation doubles (~52 B/row) instead of the 12 computed
+    // matrix entries (~124 B/row), and the staged-trig chain runs ONCE
+    // per row above the exchange instead of twice (range-boundary
+    // sampling consumes every child row below it). The angles are
+    // functions of the carried key columns, so they are recomputed
+    // above the sort for free; ordering is unchanged because the
+    // above-sort projection is row-local and the keys are untouched.
+    // finite() gates the translation inputs below the sort, unchanged.
+    val sorted = li.select(
       col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
       col("l_suppkey"),
-      (col("l_partkey") % 360 - 180).cast("double").as("a"),
-      (col("l_suppkey") % 180 - 90).cast("double").as("b"),
-      (col("l_linenumber") * 30).cast("double").as("c"),
       finite(col("l_quantity")).as("tx"),
       (finite(col("l_extendedprice")) / 100.0).as("ty"),
       (finite(col("l_discount")) * 10.0).as("tz"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     // staged trig (see G.eulerZyxStaged); the matrix entries themselves
     // are cheap products of the staged terms, so their 2x duplication
     // into (R^T, -R^T t) costs multiplies, not transcendentals
-    val (base2, m) = G.eulerZyxStaged(base, col("a"), col("b"), col("c"))
+    val (base2, m) = G.eulerZyxStaged(sorted,
+      (col("l_partkey") % 360 - 180).cast("double"),
+      (col("l_suppkey") % 180 - 90).cast("double"),
+      (col("l_linenumber") * 30).cast("double"))
     val (rt, nt) = G.se3InverseCols(m, col("tx"), col("ty"), col("tz"))
     val outs =
       (for (i <- 0 until 3; j <- 0 until 3)
@@ -161,7 +170,6 @@ object GeoQueries {
       nt.zipWithIndex.map { case (e, i) => r6u(e).as(s"it$i") }
     base2.select(Seq(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey")) ++ outs: _*)
-      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
   }
 
   // x17's body over an explicit lineitem source (shared by the full

@@ -161,6 +161,21 @@ class PlanSpec extends SparkSpec {
       s"p2 has no map-side partial aggregate:\n${p.take(1200)}")
   }
 
+  test("x14: SE(3) inverse computes above the range exchange") {
+    // r22 compute-above-sort (the x11 pattern): the sort keys are the
+    // four raw attributes, so the trig/matrix chain must evaluate ONCE
+    // above the exchange and the exchange must carry the narrow
+    // (keys + tx/ty/tz) rows — no transcendental anywhere at or below
+    // the exchange, where range-boundary sampling would re-run it.
+    val p = plan("x14_se3_inverse")
+    val exIdx = p.indexOf("Exchange rangepartitioning")
+    assert(exIdx >= 0, s"x14 lost its range exchange:\n${p.take(1200)}")
+    assert(!p.substring(exIdx).contains("SIN("),
+      s"x14 trig slipped below the range exchange:\n${p.take(1200)}")
+    assert(p.indexOf("SIN(") >= 0 && p.indexOf("SIN(") < exIdx,
+      s"x14 trig not computed above the exchange:\n${p.take(1200)}")
+  }
+
   test("w9: scalable ordinal has no single-partition Window task") {
     val p = plan("w9_ordinal_scalable")
     assert(!p.contains("Window"),
