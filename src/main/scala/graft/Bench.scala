@@ -270,6 +270,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // precondition of graft.ops.Tables (asserted there, set here)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // shuffle codec, parameterised (guide §2.3 "measure both"): local
+      // default stays lz4 (Spark's default — keeps the driver's bench
+      // comparable across rounds; measured wall delta on local[32] is
+      // within box noise in both directions). zstd shuffles 1.35x fewer
+      // bytes on the declared row shapes (260.4 -> 192.5 MB on a 6M-row
+      // wide sort, scratch/codec_bytes.scala) — at real NIC-bound scale
+      // set SPARK_GRAFT_IO_CODEC=zstd so the exchange moves 26% less.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
