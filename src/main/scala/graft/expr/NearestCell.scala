@@ -70,19 +70,32 @@ case class NearestCell(left: Expression, right: Expression)
       TypeCheckResult.TypeCheckFailure(
         "nearest_cell expects a FOLDABLE array<struct<label int|bigint|" +
           s"string, array<double>>> centroid table, got ${right.dataType.sql}")
-    else if ({
-      // an EMPTY (or null) centroid table has no argmin; rejecting it at
-      // analysis matches centsLiteral's None-on-empty contract — without
-      // this the codegen path treated argmin's Java null as a non-null
-      // InternalRow and NPE'd downstream (r21 ADVICE)
-      val t = right.eval(null)
-      t == null ||
-        t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .numElements() == 0
-    })
+    else if (emptyTable)
       TypeCheckResult.TypeCheckFailure(
         "nearest_cell requires a non-empty centroid table")
     else TypeCheckResult.TypeCheckSuccess
+
+  // an EMPTY (or null) centroid table has no argmin; rejecting it at
+  // analysis matches centsLiteral's None-on-empty contract — without
+  // this the codegen path treated argmin's Java null as a non-null
+  // InternalRow and NPE'd downstream (r21 ADVICE). Emptiness is decided
+  // STRUCTURALLY: checkInputDataTypes runs on every analyzer/optimizer
+  // validation of every fresh copy of the expression, so the original
+  // `right.eval(null)` here — an interpreted evaluation of the whole
+  // k x dim centroid tree — cost em3 ~1.7 s of per-construction driver
+  // time at sf1 (plan-identical; pure analysis overhead). CreateArray /
+  // Literal cover every table centroidRankCells builds; anything else
+  // (e.g. a foldable Cast from SQL) falls back to one memoized eval.
+  @transient private lazy val emptyTable: Boolean = right match {
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(cs, _) =>
+      cs.isEmpty
+    case org.apache.spark.sql.catalyst.expressions.Literal(null, _) => true
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+      v.asInstanceOf[ArrayData].numElements() == 0
+    case _ =>
+      val t = right.eval(null)
+      t == null || t.asInstanceOf[ArrayData].numElements() == 0
+  }
 
   override def dataType: DataType = StructType(Seq(
     StructField("d2", DoubleType, nullable = true),

@@ -17,6 +17,20 @@ class ExprSpec extends SparkSpec {
       s"wrong failure: ${e.getMessage}")
   }
 
+  test("nearest_cell rejects an empty centroid table at analysis time") {
+    // r21 ADVICE: an empty foldable table NPE'd in codegen. The check
+    // must hold on the non-structural path too (a foldable Cast, not
+    // the CreateArray/Literal fast paths) — that exercises the memoized
+    // eval fallback in NearestCell.emptyTable.
+    GraftFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT nearest_cell(array(1.0d), cast(array() as " +
+        "array<struct<c_label:int,centroid:array<double>>>))").collect()
+    }
+    assert(e.getMessage.contains("non-empty centroid table"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
   test("topk_by_sim keeps the k best by (sim DESC, id ASC) across merges") {
     GraftFunctions.register(spark)
     import spark.implicits._
